@@ -1,0 +1,45 @@
+"""Problem generators ("models") — reference: src/prob/ (68 files).
+
+Each problem is a class with the same hook surface the reference requires of
+every problem generator (src/prototypes.h:199-208):
+
+  - ``init(par, sim, grid) -> State``          (problem())
+  - ``static_grav_pot(x1,x2,x3)`` optional     (enrolled StaticGravPot)
+  - ``userwork_in_loop(state, sim, grid)``     (Userwork_in_loop)
+  - ``userwork_after_loop(state, sim, grid)``  (Userwork_after_loop)
+  - ``bc_ix1(state, grid, sim)`` etc. optional (bvals_mhd_fun)
+  - ``radplanes`` optional list                (add_radplane_3d)
+
+The active problem is chosen at runtime (registry below) instead of the
+reference's configure-time symlink (src/Makefile.in:34).
+"""
+
+from __future__ import annotations
+
+_REGISTRY = {}
+
+
+def register(name):
+    def deco(cls):
+        _REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+_BUILTIN = ("shkset1d", "linear_wave", "blast", "ifront", "ioniz_sphere",
+            "shkset2d", "shkset3d", "kh", "rt", "orszag_tang", "cpaw",
+            "field_loop")
+
+
+def get_problem(name: str):
+    if name not in _REGISTRY:
+        import importlib
+        for mod in _BUILTIN:
+            try:
+                importlib.import_module(f"{__name__}.{mod}")
+            except ImportError:
+                pass
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown problem {name!r}; known: {sorted(_REGISTRY)}")

@@ -1,0 +1,185 @@
+"""Spatial reconstruction of L/R interface states.
+
+Vectorized re-implementation of /root/reference/src/reconstruction/:
+  - ``dc``  — first order donor cell (lr_states_dc.c)
+  - ``plm`` — second order piecewise-linear with characteristic projection
+              and CTU characteristic tracing (lr_states_plm.c:62-374)
+
+Layout: all arrays are stacked 1D-slice primitives [nvar1d, ..., M] with the
+sweep along the LAST axis; nvar1d = NWAVE + nscalars.  Instead of the
+reference's per-cell pencil loop, every cell's stencil is formed with
+whole-array shifts (jnp.roll), so the big i-loop becomes pure VPU arithmetic.
+
+Outputs are *cell-based*: for each cell i we return
+  Wminus[..., i] — the traced state at the cell's left interface
+                   (the reference's ``Wr[i]``, lr_states_plm.c:17-22)
+  Wplus[..., i]  — the traced state at the cell's right interface
+                   (the reference's ``Wl[i+1]``)
+valid wherever the full stencil lies inside the array (cells [2, M-3] for
+PLM).  The integrator assembles interface L/R pairs by shifting.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from . import eigen
+
+#: flux families that use the HLL tracing branch in lr_states_plm.c:257
+HLL_FLUXES = ("hlle", "hllc", "hlld")
+
+
+def _sh(q, k):
+    """_sh(q, k)[..., i] == q[..., i+k] (wraps; wrapped cells are invalid)."""
+    return jnp.roll(q, -k, axis=-1)
+
+
+def dc(W, Bx, dtodx, sim: SimConfig):
+    """Donor cell: piecewise constant states (lr_states_dc.c:44-60)."""
+    return W, W
+
+
+def plm(W, Bx, dtodx, sim: SimConfig):
+    """Piecewise-linear characteristic reconstruction + CTU tracing.
+
+    W: stacked primitives [nvar1d, ..., M]; Bx: [..., M] (MHD) or None.
+    dtodx: dt/dx (traced scalar).  Returns (Wminus, Wplus), same shape as W.
+    """
+    nw = sim.nwave
+    ns = sim.nscalars
+    nv = nw + ns
+    assert W.shape[0] == nv, (W.shape, nv)
+
+    Wc = [W[n] for n in range(nv)]
+    Wp = [_sh(W[n], 1) for n in range(nv)]
+    Wm = [_sh(W[n], -1) for n in range(nv)]
+
+    # Step 1: eigensystem at each cell (lr_states_plm.c:101-117)
+    ev, rem, lem = eigen.esys_prim(W, Bx, sim)
+
+    # Step 2: centered / L / R / van-Leer differences (:131-147)
+    dWc = [p - m for p, m in zip(Wp, Wm)]
+    dWl = [c - m for c, m in zip(Wc, Wm)]
+    dWr = [p - c for p, c in zip(Wp, Wc)]
+    dWg = [jnp.where(l * r > 0.0, 2.0 * l * r / jnp.where(l + r == 0.0, 1.0,
+                                                          l + r), 0.0)
+           for l, r in zip(dWl, dWr)]
+
+    # Step 3: project onto characteristics (:152-175); scalars use identity
+    dac = eigen.lmul(lem, dWc[:nw]) + dWc[nw:]
+    dal = eigen.lmul(lem, dWl[:nw]) + dWl[nw:]
+    dar = eigen.lmul(lem, dWr[:nw]) + dWr[nw:]
+    dag = eigen.lmul(lem, dWg[:nw]) + dWg[nw:]
+
+    # Step 4: monotonicity constraint per characteristic (:180-187)
+    da = []
+    for c, l, r, g in zip(dac, dal, dar, dag):
+        lim1 = jnp.minimum(jnp.abs(l), jnp.abs(r))
+        lim2 = jnp.minimum(0.5 * jnp.abs(c), jnp.abs(g))
+        da.append(jnp.where(l * r > 0.0,
+                            jnp.sign(c) * jnp.minimum(2.0 * lim1, lim2), 0.0))
+
+    # Step 5: project back to primitives (:192-203)
+    dWmn = eigen.rmul(rem, da[:nw]) + da[nw:]
+
+    # Step 7: L/R values limited between neighbours (:222-236; Cartesian
+    # gamma_curv=0 so beta=1)
+    Wlv = [c - 0.5 * m for c, m in zip(Wc, dWmn)]
+    Wrv = [c + 0.5 * m for c, m in zip(Wc, dWmn)]
+    for n in range(nv):
+        C = Wrv[n] + Wlv[n]
+        lv = jnp.maximum(jnp.minimum(Wc[n], Wm[n]), Wlv[n])
+        lv = jnp.minimum(jnp.maximum(Wc[n], Wm[n]), lv)
+        rv = C - lv
+        rv = jnp.maximum(jnp.minimum(Wc[n], Wp[n]), rv)
+        rv = jnp.minimum(jnp.maximum(Wc[n], Wp[n]), rv)
+        lv = C - rv
+        Wlv[n], Wrv[n] = lv, rv
+
+    dW = [r - l for r, l in zip(Wrv, Wlv)]
+
+    if sim.integrator != "ctu":
+        # VL integrator: no characteristic tracing (:250-255)
+        return jnp.stack(Wlv), jnp.stack(Wrv)
+
+    if sim.flux in HLL_FLUXES:
+        return _trace_hll(Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim)
+    return _trace_ctu(Wc, Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim)
+
+
+def _trace_ctu(Wc, Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim):
+    """CTU characteristic tracing, non-HLL branch (lr_states_plm.c:296-367)."""
+    ev_max, ev_min = ev[nw - 1], ev[0]
+
+    # Step 8: integrate over domain of dependence
+    qxp = 0.5 * jnp.maximum(ev_max, 0.0) * dtodx
+    Wplus = [rv - qxp * d for rv, d in zip(Wrv, dW)]
+    qxm = -0.5 * jnp.minimum(ev_min, 0.0) * dtodx
+    Wminus = [lv + qxm * d for lv, d in zip(Wlv, dW)]
+
+    # Step 9: subtract waves that do not reach the interface (:322-358)
+    dWw = dW[:nw]
+    for n in range(nw):
+        mask_p = ev[n] >= 0.0
+        qx = 0.5 * dtodx * (ev_max - ev[n])
+        qa = eigen.lmul([lem[n]], [qx * d for d in dWw])[0]
+        qa = jnp.where(mask_p, qa, 0.0)
+        rcol = eigen.column(rem, n)
+        for m in range(nw):
+            c = rcol[m]
+            if isinstance(c, float) and c == 0.0:
+                continue
+            Wplus[m] = Wplus[m] + qa * c
+
+        mask_m = ev[n] <= 0.0
+        qx = 0.5 * dtodx * (ev_min - ev[n])
+        qa = eigen.lmul([lem[n]], [qx * d for d in dWw])[0]
+        qa = jnp.where(mask_m, qa, 0.0)
+        for m in range(nw):
+            c = rcol[m]
+            if isinstance(c, float) and c == 0.0:
+                continue
+            Wminus[m] = Wminus[m] + qa * c
+
+    # Scalar (advected) wave subtraction (:361-367)
+    Vx = Wc[1]
+    for n in range(nw, len(dW)):
+        Wplus[n] = Wplus[n] + jnp.where(
+            Vx > 0.0, 0.5 * dtodx * (ev_max - Vx) * dW[n], 0.0)
+        Wminus[n] = Wminus[n] + jnp.where(
+            Vx < 0.0, 0.5 * dtodx * (ev_min - Vx) * dW[n], 0.0)
+
+    return jnp.stack(Wminus), jnp.stack(Wplus)
+
+
+def _trace_hll(Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim):
+    """CTU tracing for HLL-family fluxes (lr_states_plm.c:257-294): subtract
+    each wave moving toward the interface.  The reference leaves scalar L/R
+    states unset in this branch (loops run only n<NWAVE); we use the untraced
+    Wrv/Wlv for scalars."""
+    Wplus = list(Wrv)
+    Wminus = list(Wlv)
+    dWw = dW[:nw]
+    for n in range(nw):
+        qx = 0.5 * dtodx * ev[n]
+        qa = eigen.lmul([lem[n]], [qx * d for d in dWw])[0]
+        qa_p = jnp.where(ev[n] > 0.0, qa, 0.0)
+        qa_m = jnp.where(ev[n] < 0.0, qa, 0.0)
+        rcol = eigen.column(rem, n)
+        for m in range(nw):
+            c = rcol[m]
+            if isinstance(c, float) and c == 0.0:
+                continue
+            Wplus[m] = Wplus[m] - qa_p * c
+            Wminus[m] = Wminus[m] - qa_m * c
+    return jnp.stack(Wminus), jnp.stack(Wplus)
+
+
+def lr_states(W, Bx, dtodx, sim: SimConfig):
+    """Dispatch on sim.order (reconstruction/prototypes.h:40-46)."""
+    if sim.order == "1":
+        return dc(W, Bx, dtodx, sim)
+    if sim.order == "2":
+        return plm(W, Bx, dtodx, sim)
+    raise NotImplementedError(f"order={sim.order} not yet implemented")

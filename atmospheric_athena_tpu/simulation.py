@@ -1,0 +1,191 @@
+"""Driver: setup + main loop (reference: src/main.c:90-772).
+
+The reference's 10-step startup and its main loop
+(output → diffusion → radiation → hydro → Userwork → time/dt update → BCs,
+src/main.c:519-669) map to:
+
+  - ``Simulation.from_file`` / ``from_par``: par parsing, config build,
+    problem init, initial ghost fill, initial dt (main.c steps 1-9).
+  - ``Simulation.step()``: ONE fully jitted mesh update.  dt is a traced
+    value *produced inside the step* because the radiation sub-cycle may
+    shrink it (ionrad_3d.c:983,1033 → pMesh->dt), matching the reference's
+    radiation-before-hydro ordering contract (main.c:541-585).
+  - ``Simulation.run()``: host-side loop with output scheduling, tlim/nlim
+    termination, and zone-cycles/sec reporting (main.c:699-735).
+"""
+
+from __future__ import annotations
+
+import re
+import time as _time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bvals, dt as dt_mod
+from .config import (GridConfig, SimConfig, grid_config_from_par,
+                     sim_config_from_par)
+from .models import get_problem
+from .par import ParameterDB
+from .state import State
+
+
+def parse_configure_line(par: ParameterDB) -> dict:
+    """Extract --with-*/--enable-* options from the deck's embedded configure
+    line (the reference records it in the <comment> block; e.g.
+    tst/1D-hydro/athinput.sod 'config = --with-gas=hydro ...')."""
+    out = {}
+    cfgline = par.gets_def("comment", "config", "")
+    for m in re.finditer(r"--with-(\w[\w-]*)=(\S+)", cfgline):
+        key, val = m.group(1), m.group(2)
+        if key == "gas":
+            out["gas"] = val
+        elif key == "eos":
+            out["eos"] = val
+        elif key == "flux":
+            out["flux"] = val
+        elif key == "order":
+            out["order"] = val
+        elif key == "integrator":
+            out["integrator"] = val
+        elif key == "nscalars":
+            out["nscalars"] = int(val)
+        elif key == "problem":
+            out["_problem"] = val
+    for m in re.finditer(r"--enable-(\w[\w-]*)", cfgline):
+        key = m.group(1)
+        if key == "h-correction":
+            out["h_correction"] = True
+        elif key == "ion-radiation":
+            out["ion_radiation"] = True
+        elif key == "ion-plane":
+            out["ion_radplane"] = True
+    if out.get("ion_radplane") and out.get("nscalars", 0) < 1:
+        out["nscalars"] = 1
+    return out
+
+
+class Simulation:
+    def __init__(self, par: ParameterDB, sim: SimConfig, grid: GridConfig,
+                 problem, state: State):
+        self.par = par
+        self.sim = sim
+        self.grid = grid
+        self.problem = problem
+        self.state = state
+        self.cour_no = par.getd_def("time", "cour_no", 0.8)
+        self.tlim = par.getd_def("time", "tlim", 1.0)
+        self.nlim = par.geti_def("time", "nlim", -1)
+        self._jit_step = None
+
+    # ------------------------------------------------------------------ setup
+
+    @classmethod
+    def from_par(cls, par: ParameterDB, problem: Optional[str] = None,
+                 **sim_overrides) -> "Simulation":
+        auto = parse_configure_line(par)
+        problem = problem or auto.pop("_problem", None)
+        auto.pop("_problem", None)
+        if problem is None:
+            raise ValueError("no problem name given or found in deck")
+        auto.update(sim_overrides)
+        sim = sim_config_from_par(par, **auto)
+        grid = grid_config_from_par(par)
+        prob_cls = get_problem(problem)
+        prob = prob_cls(par, sim, grid)
+        state = prob.init(par, sim, grid)
+        state = bvals.apply_bc(state, grid, sim, prob)
+        dt0 = dt_mod.new_dt(state, sim, grid, cls._cour(par))
+        state = state.replace(dt=dt0)
+        return cls(par, sim, grid, prob, state)
+
+    @classmethod
+    def from_file(cls, path: str, problem: Optional[str] = None,
+                  cmdline=(), **sim_overrides) -> "Simulation":
+        par = ParameterDB.from_file(path)
+        par.apply_cmdline(cmdline)
+        return cls.from_par(par, problem=problem, **sim_overrides)
+
+    @staticmethod
+    def _cour(par):
+        return par.getd_def("time", "cour_no", 0.8)
+
+    # ------------------------------------------------------------------- step
+
+    def _build_step(self):
+        sim, grid, problem = self.sim, self.grid, self.problem
+        cour_no, tlim = self.cour_no, self.tlim
+        ndim = grid.ndim
+
+        if ndim == 1:
+            from .integrators import ctu1d as integ
+        elif ndim == 2:
+            from .integrators import ctu2d as integ
+        else:
+            from .integrators import ctu3d as integ
+
+        userwork = getattr(problem, "userwork_in_loop", None)
+
+        def step(state: State) -> State:
+            # dt for this cycle, clipped so we land exactly on tlim
+            # (new_dt.c:183-185)
+            dt = jnp.minimum(state.dt, jnp.maximum(tlim - state.time, 0.0)
+                             ) if tlim > 0 else state.dt
+
+            # radiation first (may shrink dt) — wired in when ionrad lands
+            state = integ.step(state, dt, sim, grid, problem)
+
+            if userwork is not None:
+                state = userwork(state, sim, grid)
+
+            state = state.replace(time=state.time + dt,
+                                  nstep=state.nstep + 1,
+                                  dt=dt)
+            dt_next = dt_mod.new_dt(state, sim, grid, cour_no)
+            state = state.replace(dt=dt_next)
+            state = bvals.apply_bc(state, grid, sim, problem)
+            return state
+
+        return jax.jit(step, donate_argnums=0)
+
+    def step(self):
+        if self._jit_step is None:
+            self._jit_step = self._build_step()
+        self.state = self._jit_step(self.state)
+
+    # -------------------------------------------------------------------- run
+
+    def run(self, max_steps: Optional[int] = None, verbose: bool = False,
+            output_fn=None):
+        """Main loop (main.c:519-669).  output_fn(sim) is called before each
+        step and once at the end (data_output analogue; io/ wires the real
+        output dispatcher into this)."""
+        nlim = self.nlim if max_steps is None else max_steps
+        t0 = _time.perf_counter()
+        zones = int(np.prod([n for n in self.grid.Nx]))
+        steps0 = int(self.state.nstep)
+        while True:
+            tnow = float(self.state.time)
+            nstep = int(self.state.nstep)
+            if self.tlim > 0 and tnow >= self.tlim:
+                break
+            if nlim is not None and nlim >= 0 and nstep - steps0 >= nlim:
+                break
+            if output_fn is not None:
+                output_fn(self)
+            if verbose:
+                print(f"cycle={nstep} time={tnow:.6e} dt="
+                      f"{float(self.state.dt):.6e}")
+            self.step()
+        jax.block_until_ready(self.state.U)
+        wall = _time.perf_counter() - t0
+        nsteps = int(self.state.nstep) - steps0
+        if output_fn is not None:
+            output_fn(self)
+        zcps = zones * nsteps / wall if wall > 0 else float("nan")
+        if verbose:
+            print(f"zone-cycles/wall-second = {zcps:.3e}")
+        return dict(steps=nsteps, wall=wall, zone_cycles_per_sec=zcps)
