@@ -26,6 +26,40 @@ def _adim(axis: int) -> int:
     return 2 - axis
 
 
+def var_perm(axis: int, sim: SimConfig):
+    """Index permutation taking the physical cell-centered ordering
+    (d, M1, M2, M3, [E], s...) to the sweep ordering (d, Mx, My, Mz, [E],
+    s...) for `axis` (cyclic: x2 sweep has (Mx,My,Mz)=(M2,M3,M1))."""
+    a1, a2, a3 = axis, (axis + 1) % 3, (axis + 2) % 3
+    perm = [ID, IM1 + a1, IM1 + a2, IM1 + a3]
+    base = 4
+    if sim.adiabatic:
+        perm.append(IEN)
+        base = 5
+    perm.extend(range(base, base + sim.nscalars))
+    return perm
+
+
+def inv_perm(perm):
+    out = [0] * len(perm)
+    for i, p in enumerate(perm):
+        out[p] = i
+    return out
+
+
+def permute_to_sweep(X, axis: int, sim: SimConfig):
+    """Physical-order stacked array [ncons, Nz, Ny, Nx] -> sweep order with
+    the sweep axis last.  (No B components — hydro/cc fields only.)"""
+    X = X[var_perm(axis, sim), ...]
+    return jnp.moveaxis(X, _adim(axis) + 1, -1)
+
+
+def permute_from_sweep(X, axis: int, sim: SimConfig):
+    """Inverse of permute_to_sweep (for states or fluxes without B)."""
+    X = jnp.moveaxis(X, -1, _adim(axis) + 1)
+    return X[inv_perm(var_perm(axis, sim)), ...]
+
+
 def to_sweep(U, Bcc, axis: int, sim: SimConfig):
     """Gather (U1d, Bxc) in 1D-slice ordering with sweep axis last.
 

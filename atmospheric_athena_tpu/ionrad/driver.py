@@ -1,0 +1,282 @@
+"""Sub-cycled ionization/heating driver (reference:
+src/ionradiation/ionrad_3d.c:862-1047, ion_radtransfer_3d).
+
+Runs BEFORE the hydro update each cycle and may SHRINK the hydro dt
+(pGrid->dt = dt_done → pMesh->dt, ionrad_3d.c:983,1000,1033) — hence the
+step function treats dt as a value produced here, and the sub-cycle is a
+lax.while_loop with data-dependent trip count.  All reductions (dt_chem,
+dt_therm minima, check_range cell count, compute_dt_hydro) are jnp
+reductions; under pjit they lower to the same global collectives the
+reference does with MPI_Allreduce (ionrad_3d.c:397-404, 552-559, 274-280).
+
+Everything operates on ACTIVE cells only (the reference's is..ie loops);
+ghosts are refreshed by bvals after radiation, as in main.c:552.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GridConfig, SimConfig
+from ..defs import ID, IEN, IM1, TINY_NUMBER
+from ..state import State
+from . import chemistry as chem
+from .config import (CION, DAMPFACTOR, IONFRACFLOOR, LARGE, MAXCELLCOUNT,
+                     MAXSIGNCOUNT, IonConfig)
+from .plane import get_ph_rate_plane, inlet_ramp
+
+
+class _Carry(NamedTuple):
+    E: jax.Array
+    s0: jax.Array
+    last_sign: jax.Array
+    sign_count: jax.Array
+    dt_done: jax.Array
+    dt_new: jax.Array
+    niter: jax.Array
+    stop: jax.Array
+    eflux: jax.Array
+
+
+def _temp(E, s0, d, ke_be, sim, ion):
+    _, _, _, x = chem.species(d, s0, ion)
+    e_th = E - ke_be
+    e_sp = e_th / d
+    T = chem.temperature(e_sp, x, sim.gamma_1, ion)
+    return T, e_th, x
+
+
+def _apply_floors(E, s0, d, ke_be, sim: SimConfig, ion: IonConfig):
+    """apply_temp_floor (ionrad_3d.c:70-136) then apply_neutral_floor
+    (:140-157), in the driver's order (:896-900)."""
+    T, _, x = _temp(E, s0, d, ke_be, sim, ion)
+    mm = chem.mean_mass(x, ion)
+    e_sp_fl = ion.tfloor * ion.k_B / (mm * sim.gamma_1)
+    E = jnp.where(T < ion.tfloor, ke_be + e_sp_fl * d, E)
+    if ion.tceil > 0:
+        e_sp_cl = ion.tceil * ion.k_B / (mm * sim.gamma_1)
+        E = jnp.where(T > ion.tceil, ke_be + e_sp_cl * d, E)
+
+    d_nlim = jnp.minimum(d * IONFRACFLOOR, ion.d_nlo)
+    s0 = jnp.where(s0 < d_nlim, d_nlim, jnp.minimum(s0, d))
+    return E, s0
+
+
+def _d_nlim(d, ion):
+    return jnp.minimum(d * IONFRACFLOOR, ion.d_nlo)
+
+
+def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
+                    ion: IonConfig, time, cour_no: float):
+    """One radiation step: floors + sub-cycled chemistry/heating.
+
+    `cour_no` is <time>/cour_no, needed by the compute_dt_hydro stopping
+    criterion.  Returns (new_state, dt_new): state with updated E, s0,
+    Eflux and the (possibly shrunk) hydro dt for this cycle.
+    """
+    sl = grid.interior()
+    Usl = (slice(None),) + sl
+    U = state.U[Usl]
+    d = U[ID]
+    M1, M2, M3 = U[IM1], U[IM1 + 1], U[IM1 + 2]
+    ke = 0.5 * (M1 ** 2 + M2 ** 2 + M3 ** 2) / d
+    if sim.mhd:
+        B = state.Bcc[(slice(None),) + sl]
+        ke_be = ke + 0.5 * (B[0] ** 2 + B[1] ** 2 + B[2] ** 2)
+    else:
+        ke_be = ke
+    iscal = 5 if sim.adiabatic else 4
+    E0 = U[IEN]
+    s00 = U[iscal]
+    dt0 = state.dt
+
+    # floors + saved initial values (ionrad_3d.c:896-905)
+    E0, s00 = _apply_floors(E0, s00, d, ke_be, sim, ion)
+    _, e_th_init, x_init = _temp(E0, s00, d, ke_be, sim, ion)
+    e_init = E0
+    d_nlim = _d_nlim(d, ion)
+
+    direction, flux_i = ion.radplanes[0]
+    n_planes = len(ion.radplanes)
+
+    def ph_rate_all(s0):
+        """Photoionization rate summed over all planes (ionrad_3d.c:926-931);
+        EdgeFlux keeps the last plane's values, like the reference."""
+        kph_tot = jnp.zeros_like(s0)
+        eflux = None
+        for dirn, fx in ion.radplanes:
+            if abs(dirn) == 1:
+                inflow = inlet_ramp(fx, time, ion)
+            else:
+                inflow = jnp.asarray(fx, s0.dtype)
+            kph, eflux = get_ph_rate_plane(s0, inflow, dirn, grid, ion)
+            kph_tot = kph_tot + kph
+        return kph_tot, eflux
+
+    def chem_rates(s0, E, last_sign, sign_count, ph_rate):
+        """compute_chem_rates (ionrad_3d.c:288-409).  Note: the reference
+        also damps the *stale* edot here, which compute_therm_rates then
+        overwrites unconditionally — so only the nHdot damping survives;
+        we implement exactly that surviving behavior."""
+        n_H, n_Hplus, n_e, x = chem.species(d, s0, ion)
+        e_sp = (E - ke_be) / d
+        T = chem.temperature(e_sp, x, sim.gamma_1, ion)
+        T = jnp.maximum(T, ion.tfloor)
+        nHdot = (chem.recomb_rate_coef(T) * ion.time_unit * n_e * n_Hplus
+                 - ph_rate * n_H)
+
+        # oscillation bookkeeping (:341-353)
+        neg = nHdot < 0.0
+        pos = nHdot > 0.0
+        flipped = jnp.where(neg, last_sign == 1,
+                            jnp.where(pos, last_sign == -1, False))
+        new_count = jnp.where(
+            neg | pos,
+            jnp.where(flipped, sign_count + 1,
+                      jnp.maximum(sign_count - (sign_count > 0), 0)),
+            0)
+        new_sign = jnp.where(neg, -1, jnp.where(pos, 1, 0)).astype(
+            last_sign.dtype)
+        # damping: nHdot *= DAMPFACTOR^(sign_count - MAXSIGNCOUNT) (:360-363)
+        ndamp = jnp.maximum(new_count - MAXSIGNCOUNT, 0)
+        nHdot = nHdot * DAMPFACTOR ** ndamp.astype(nHdot.dtype)
+
+        mx = ion.max_dx_iter
+        dt1_pos = mx / (1 + mx) * n_e / nHdot
+        dt2_pos = mx * n_H / nHdot
+        dt1_neg = -mx * n_e / nHdot
+        dt2_neg = -mx / (1 + mx) * n_H / nHdot
+        above_floor = s0 > 1.0001 * d_nlim
+        dt_cell = jnp.where(
+            nHdot > 0.0, jnp.minimum(dt1_pos, dt2_pos),
+            jnp.where((nHdot < 0.0) & above_floor,
+                      jnp.minimum(dt1_neg, dt2_neg), LARGE))
+        return nHdot, new_sign, new_count, jnp.min(dt_cell)
+
+    def therm_rates(s0, E, nHdot, ph_rate):
+        """compute_therm_rates (ionrad_3d.c:414-562)."""
+        n_H, n_Hplus, n_e, x = chem.species(d, s0, ion)
+        e_thermal = E - ke_be
+        e_sp = e_thermal / d
+        T = chem.temperature(e_sp, x, sim.gamma_1, ion)
+
+        edot = (ph_rate * ion.e_gamma * n_H
+                - chem.recomb_cool_rate_coef(T, ion.k_B) * ion.time_unit
+                * n_Hplus * n_e
+                + chem.lya_cool_rate(n_H, n_e, T) * ion.time_unit)
+        skip = (T < ion.tfloor) | ((nHdot < 0) & (s0 < 1.0001 * d_nlim))
+        edot = jnp.where(skip, 0.0, edot)
+
+        mde, mdt = ion.max_de_iter, ion.max_de_therm_iter
+        dt_heat = jnp.minimum(mde * E / edot, mdt * e_thermal / edot)
+        # cooling: account for the temperature floor (:503-538)
+        mm = chem.mean_mass(x, ion)
+        e_sp_min = ion.tfloor * ion.k_B / (mm * sim.gamma_1)
+        e_th_min = e_sp_min * d
+        e_min = ke_be + e_th_min
+        floor_ok = (e_thermal / (1.0 + mdt) < e_th_min) & \
+                   (E / (1.0 + mde) < e_min)
+        dt_cool = jnp.minimum(-mde / (1 + mde) * E / edot,
+                              -mdt / (1 + mdt) * e_thermal / edot)
+        dt_cell = jnp.where(
+            edot == 0.0, LARGE,
+            jnp.where(edot > 0.0, dt_heat,
+                      jnp.where(floor_ok, LARGE, dt_cool)))
+        return edot, jnp.min(dt_cell)
+
+    def dt_hydro_now(s0, E):
+        """compute_dt_hydro (ionrad_3d.c:593-678) — CFL from current E."""
+        di = 1.0 / d
+        qsq = (M1 ** 2 + M2 ** 2 + M3 ** 2) * di * di
+        if sim.mhd:
+            bsq = B[0] ** 2 + B[1] ** 2 + B[2] ** 2
+            p = jnp.maximum(sim.gamma_1 * (E - 0.5 * d * qsq - 0.5 * bsq),
+                            TINY_NUMBER)
+        else:
+            p = jnp.maximum(sim.gamma_1 * (E - 0.5 * d * qsq), TINY_NUMBER)
+        asq = sim.gamma * p * di
+        # hydro: all three directional speeds equal; MHD variant pending
+        cf = jnp.sqrt(asq)
+        dti = jnp.zeros((), E.dtype)
+        for a in range(3):
+            if grid.Nx[a] > 1:
+                v = jnp.abs(U[IM1 + a]) * di
+                dti = jnp.maximum(dti, jnp.max(v + cf) / grid.dx[a])
+        return cour_no / dti
+
+    def body(c: _Carry):
+        ph_rate, eflux = ph_rate_all(c.s0)
+        nHdot, lsn, scn, dt_chem = chem_rates(c.s0, c.E, c.last_sign,
+                                              c.sign_count, ph_rate)
+        edot, dt_therm = therm_rates(c.s0, c.E, nHdot, ph_rate)
+        dt = jnp.minimum(dt_chem, dt_therm)
+
+        # clip to the hydro step (ionrad_3d.c:950-954)
+        hydro_done = c.dt_done + dt > dt0
+        dt = jnp.where(hydro_done, dt0 - c.dt_done, dt)
+
+        # explicit update (ionization_update, :565-590)
+        upd = (nHdot > 0) | (c.s0 > 1.0001 * d_nlim)
+        E = c.E + jnp.where(upd, edot * dt, 0.0)
+        s0 = c.s0 + jnp.where(upd, nHdot * dt * ion.m_H, 0.0)
+        dt_done = c.dt_done + dt
+        E, s0 = _apply_floors(E, s0, d, ke_be, sim, ion)
+
+        # stopping criteria (:977-1002)
+        _, e_th, x = _temp(E, s0, d, ke_be, sim, ion)
+        n_H = s0 / ion.m_H
+        dtype_skip = ph_rate / (ion.min_area * n_H) > 2.0 * CION
+        viol = jnp.zeros_like(dtype_skip)
+        if ion.max_de_therm_step > 0:
+            r = e_th / e_th_init
+            viol = viol | (r >= 1 + ion.max_de_therm_step) | \
+                (1.0 / r >= 1 + ion.max_de_therm_step)
+        if ion.max_de_step > 0:
+            r = E / e_init
+            viol = viol | (r >= 1 + ion.max_de_step) | \
+                (1.0 / r >= 1 + ion.max_de_step)
+        if ion.max_dx_step > 0:
+            r = x / x_init
+            viol = viol | (r >= 1 + ion.max_dx_step) | \
+                (1.0 / r >= 1 + ion.max_dx_step)
+        cellcount = jnp.sum(viol & ~dtype_skip)
+        range_hit = cellcount > MAXCELLCOUNT
+
+        dt_h = dt_hydro_now(s0, E)
+        cfl_hit = dt_h < dt_done
+
+        stop = range_hit | hydro_done | cfl_hit
+        dt_new = jnp.where(range_hit, dt_done,
+                           jnp.where(hydro_done, c.dt_new,
+                                     jnp.where(cfl_hit, dt_done, c.dt_new)))
+        return _Carry(E, s0, lsn, scn, dt_done, dt_new, c.niter + 1, stop,
+                      eflux)
+
+    def cond(c: _Carry):
+        return (~c.stop) & (c.niter < ion.maxiter)
+
+    ax = abs(direction) - 1
+    efshape = list(d.shape)
+    efshape[2 - ax] += 1
+    init = _Carry(
+        E=E0, s0=s00,
+        last_sign=jnp.zeros(d.shape, jnp.int32),
+        sign_count=jnp.zeros(d.shape, jnp.int32),
+        dt_done=jnp.zeros((), d.dtype),
+        dt_new=dt0,
+        niter=jnp.zeros((), jnp.int32),
+        stop=jnp.zeros((), bool),
+        eflux=jnp.zeros(efshape, d.dtype))
+    out = jax.lax.while_loop(cond, body, init)
+
+    # maxiter exit without a stop condition: dt = dt_done (ionrad_3d.c:1022)
+    dt_new = jnp.where(out.stop, out.dt_new, out.dt_done)
+
+    Unew = state.U.at[(iscal,) + sl].set(out.s0)
+    if sim.adiabatic:
+        Unew = Unew.at[(IEN,) + sl].set(out.E)
+    new_state = state.replace(U=Unew, Eflux=out.eflux, dt=dt_new)
+    return new_state, dt_new

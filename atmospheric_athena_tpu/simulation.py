@@ -92,9 +92,11 @@ class Simulation:
         if problem is None:
             raise ValueError("no problem name given or found in deck")
         auto.update(sim_overrides)
+        prob_cls = get_problem(problem)
+        for k, v in getattr(prob_cls, "sim_overrides", {}).items():
+            auto.setdefault(k, v)
         sim = sim_config_from_par(par, **auto)
         grid = grid_config_from_par(par)
-        prob_cls = get_problem(problem)
         prob = prob_cls(par, sim, grid)
         state = prob.init(par, sim, grid)
         state = bvals.apply_bc(state, grid, sim, prob)
@@ -122,12 +124,20 @@ class Simulation:
 
         if ndim == 1:
             from .integrators import ctu1d as integ
-        elif ndim == 2:
-            from .integrators import ctu2d as integ
         else:
-            from .integrators import ctu3d as integ
+            from .integrators import ctu3d as integ  # handles 2D and 3D
 
         userwork = getattr(problem, "userwork_in_loop", None)
+
+        ion = None
+        if sim.ion_radplane:
+            from .ionrad.config import ion_config_from_par
+            from .ionrad.driver import ion_radtransfer
+            ion = ion_config_from_par(
+                self.par, grid,
+                radplanes=getattr(problem, "radplanes", ()),
+                time_ramp=getattr(problem, "time_ramp", True))
+            self.ion = ion
 
         def step(state: State) -> State:
             # dt for this cycle, clipped so we land exactly on tlim
@@ -135,7 +145,14 @@ class Simulation:
             dt = jnp.minimum(state.dt, jnp.maximum(tlim - state.time, 0.0)
                              ) if tlim > 0 else state.dt
 
-            # radiation first (may shrink dt) — wired in when ionrad lands
+            # radiation BEFORE hydro — it may shrink dt (main.c:541-556;
+            # ionrad_3d.c:983,1033); ghosts are then refreshed (main.c:552)
+            if ion is not None:
+                state = state.replace(dt=dt)
+                state, dt = ion_radtransfer(state, sim, grid, ion,
+                                            state.time, cour_no)
+                state = bvals.apply_bc(state, grid, sim, problem)
+
             state = integ.step(state, dt, sim, grid, problem)
 
             if userwork is not None:
@@ -149,7 +166,7 @@ class Simulation:
             state = bvals.apply_bc(state, grid, sim, problem)
             return state
 
-        return jax.jit(step, donate_argnums=0)
+        return jax.jit(step)
 
     def step(self):
         if self._jit_step is None:

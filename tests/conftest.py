@@ -16,3 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: first compile of the big CTU graphs is ~30s,
+# cached compiles are near-instant across test processes
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
