@@ -1,0 +1,125 @@
+"""Photoevaporating hot-Jupiter atmosphere — THE production problem
+(reference: src/prob/ioniz_sphere.c).
+
+Polytropic (P = K·rho^Gamma) planet atmosphere in hydrostatic balance in the
+planet's gravity, irradiated by a plane-parallel ionizing flux entering on
+the -x1 edge; static potential = planet + star + centrifugal (PlanetPot,
+ioniz_sphere.c:316-330); every cycle the profile inside r < 0.75·rp is
+re-imposed (Userwork_in_loop, :255-306)."""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import state as state_mod
+from ..config import GridConfig, SimConfig
+from ..defs import ID, IEN, IM1, TINY_NUMBER
+from . import register
+
+
+@register("ioniz_sphere")
+class IonizSphere:
+    sim_overrides = dict(ion_radiation=True, ion_radplane=True, nscalars=1,
+                         h_correction=True)
+
+    def __init__(self, par, sim: SimConfig, grid: GridConfig):
+        self.par = par
+        gamma, g1 = sim.gamma, sim.gamma_1
+        mu = par.getd("ionradiation", "mu")
+        self.flux = par.getd("problem", "flux")
+        cs = par.getd("problem", "cs")
+        rp = par.getd_def("problem", "rp", 1.2e10)
+        mp = par.getd_def("problem", "mp", 1.0e30)
+        np_ = par.getd_def("problem", "np", 6.0e8)
+        Ggrav = 6.67e-8
+        self.GM = Ggrav * mp
+        rhop = np_ * mu
+        self.Rsoft = 0.01 * rp
+        self.rp = rp
+        self.rin = 0.5 * rp
+        self.rreset2 = 0.5625 * rp * rp
+        self.powindex = 1.0 / g1
+        self.K = rhop ** (-g1) * cs * cs
+        # central/reset density and integration constant (:93-96)
+        self.rho0 = (rhop ** g1 - g1 / gamma * self.GM / self.K *
+                     (1.0 / rp - 1.0 / self.rin)) ** self.powindex
+        self.Cp = self.rho0 ** g1 - (g1 / gamma) * self.GM / self.K / self.rin
+        rhoedge = rhop / 10.0
+        self.rout = 1.0 / (gamma / g1 / self.GM * self.K *
+                           (rhoedge ** g1 - self.rho0 ** g1) + 1.0 / self.rin)
+        self.rhoedge = rhoedge
+        self.rhoout = rhoedge / 10000.0
+        self.radplanes = [(-1, self.flux)]
+        self.time_ramp = True
+        if par.geti_def("problem", "nradplanes", 1) != 1:
+            raise ValueError("exactly one radplane supported "
+                             "(ioniz_sphere.c:144-160)")
+
+    # -- static gravity: planet + star + centrifugal (PlanetPot, :316-330) --
+    def static_grav_pot(self, x1, x2, x3):
+        rad = jnp.sqrt(x1 ** 2 + x2 ** 2 + x3 ** 2)
+        adist = 7.48e11
+        GMstar = 6.67e-8 * 1.99e33
+        omega = math.sqrt(GMstar / adist ** 3)
+        radstar = jnp.sqrt((x1 + adist) ** 2 + x2 ** 2 + x3 ** 2)
+        rcentrif2 = (x1 + adist) ** 2 + x2 ** 2
+        return (-self.GM / (rad + self.Rsoft) - GMstar / radstar
+                - 0.5 * omega ** 2 * rcentrif2)
+
+    def init(self, par, sim: SimConfig, grid: GridConfig):
+        st = state_mod.zeros(sim, grid)
+        gamma, g1 = sim.gamma, sim.gamma_1
+
+        xs = [np.asarray(grid.cc_coords(a)) for a in range(3)]
+        x1 = jnp.asarray(xs[0]).reshape(1, 1, -1)
+        x2 = jnp.asarray(xs[1]).reshape(1, -1, 1)
+        x3 = jnp.asarray(xs[2]).reshape(-1, 1, 1)
+        rad = jnp.sqrt(x1 ** 2 + x2 ** 2 + x3 ** 2)
+        rad = jnp.broadcast_to(rad, grid.padded_shape()).astype(st.U.dtype)
+
+        prof = (g1 / gamma * self.GM / self.K /
+                jnp.maximum(rad, TINY_NUMBER) + self.Cp) ** self.powindex
+        d = jnp.where(rad <= self.rin, self.rho0,
+                      jnp.where(rad > self.rout, self.rhoout, prof))
+        E = jnp.where(rad > self.rout,
+                      self.K * self.rhoedge ** gamma / g1,
+                      self.K * d ** gamma / g1)
+        s0 = jnp.where(rad > self.rout, d * 1.0e-4, d)
+
+        U = st.U.at[ID].set(d)
+        U = U.at[IEN].set(E)
+        U = U.at[5].set(s0)
+        return st.replace(U=U)
+
+    def userwork_in_loop(self, state, sim: SimConfig, grid: GridConfig):
+        """Re-impose the hydrostatic profile within r < 0.75 rp each cycle
+        (Userwork_in_loop, ioniz_sphere.c:283-293)."""
+        gamma, g1 = sim.gamma, sim.gamma_1
+        xs = [np.asarray(grid.cc_coords(a)) for a in range(3)]
+        x1 = jnp.asarray(xs[0]).reshape(1, 1, -1)
+        x2 = jnp.asarray(xs[1]).reshape(1, -1, 1)
+        x3 = jnp.asarray(xs[2]).reshape(-1, 1, 1)
+        rad2 = jnp.broadcast_to(x1 ** 2 + x2 ** 2 + x3 ** 2,
+                                grid.padded_shape()).astype(state.U.dtype)
+        inside = rad2 <= self.rreset2
+        # only active cells (is..ie loops)
+        act = np.zeros(grid.padded_shape(), bool)
+        act[grid.interior()] = True
+        inside = inside & jnp.asarray(act)
+
+        myrho = (g1 / gamma * self.GM / self.K /
+                 jnp.maximum(jnp.sqrt(rad2), TINY_NUMBER)
+                 + self.Cp) ** self.powindex
+        myrho = jnp.minimum(myrho, self.rho0)
+
+        U = state.U
+        U = U.at[ID].set(jnp.where(inside, myrho, U[ID]))
+        for m in range(3):
+            U = U.at[IM1 + m].set(jnp.where(inside, 0.0, U[IM1 + m]))
+        U = U.at[IEN].set(jnp.where(inside,
+                                    self.K * myrho ** gamma / g1, U[IEN]))
+        U = U.at[5].set(jnp.where(inside, myrho, U[5]))
+        return state.replace(U=U)
