@@ -150,10 +150,11 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
         dt1_neg = -mx * n_e / nHdot
         dt2_neg = -mx / (1 + mx) * n_H / nHdot
         above_floor = s0 > 1.0001 * d_nlim
+        big = jnp.finfo(s0.dtype).max  # LARGE ~ DBL_MAX (ionrad.h:16)
         dt_cell = jnp.where(
             nHdot > 0.0, jnp.minimum(dt1_pos, dt2_pos),
             jnp.where((nHdot < 0.0) & above_floor,
-                      jnp.minimum(dt1_neg, dt2_neg), LARGE))
+                      jnp.minimum(dt1_neg, dt2_neg), big))
         return nHdot, new_sign, new_count, jnp.min(dt_cell)
 
     def therm_rates(s0, E, nHdot, ph_rate):
@@ -181,10 +182,11 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
                    (E / (1.0 + mde) < e_min)
         dt_cool = jnp.minimum(-mde / (1 + mde) * E / edot,
                               -mdt / (1 + mdt) * e_thermal / edot)
+        big = jnp.finfo(E.dtype).max
         dt_cell = jnp.where(
-            edot == 0.0, LARGE,
+            edot == 0.0, big,
             jnp.where(edot > 0.0, dt_heat,
-                      jnp.where(floor_ok, LARGE, dt_cool)))
+                      jnp.where(floor_ok, big, dt_cool)))
         return edot, jnp.min(dt_cell)
 
     def dt_hydro_now(s0, E):

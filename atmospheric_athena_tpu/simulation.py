@@ -175,11 +175,19 @@ class Simulation:
 
     # -------------------------------------------------------------------- run
 
+    def make_outputs(self, outdir: str = "."):
+        """Build the <outputN> dispatcher (init_output analogue)."""
+        from .io.outputs import OutputSet
+        return OutputSet(self.par, outdir)
+
     def run(self, max_steps: Optional[int] = None, verbose: bool = False,
-            output_fn=None):
+            output_fn=None, outdir: Optional[str] = None):
         """Main loop (main.c:519-669).  output_fn(sim) is called before each
-        step and once at the end (data_output analogue; io/ wires the real
-        output dispatcher into this)."""
+        step and once at the end (data_output analogue); passing `outdir`
+        instead builds the deck's <outputN> dispatcher automatically."""
+        if output_fn is None and outdir is not None:
+            outs = self.make_outputs(outdir)
+            output_fn = lambda s: outs(s)
         nlim = self.nlim if max_steps is None else max_steps
         t0 = _time.perf_counter()
         zones = int(np.prod([n for n in self.grid.Nx]))

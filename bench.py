@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark: zone-cycles/second on the production ioniz_sphere step.
+
+Runs the full production step (radiation sub-cycle + 3D CTU hydro +
+H-correction + PlanetPot gravity + inner-core reset) at 256**3, float32, on
+whatever accelerator JAX finds (the real TPU chip under the driver), and
+prints ONE JSON line.
+
+vs_baseline: the reference C code has no published numbers (BASELINE.md);
+the baseline used here is the measured serial throughput of the reference
+binary on this machine's CPU for the same 64^3 configuration
+(zone-cycles/wall-second = 3.11e5, .refbuild/run/isph/athena.log) — i.e.
+vs_baseline = our zone-cycles/s per chip / reference zone-cycles/s per core.
+"""
+
+import json
+import os
+import sys
+import time
+
+N = int(os.environ.get("BENCH_N", "256"))
+STEPS = int(os.environ.get("BENCH_STEPS", "5"))
+REF_BASELINE = 3.11e5  # reference C serial zone-cycles/s on this host
+
+
+def main():
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from atmospheric_athena_tpu import ParameterDB, Simulation
+    from __graft_entry__ import _ISPH_DECK
+
+    par = ParameterDB.from_string(_ISPH_DECK.format(n=N))
+    par.set("ionradiation", "maxiter", 50)   # bound radiation work per cycle
+    par.set("time", "nlim", 10000)
+    s = Simulation.from_par(par, problem="ioniz_sphere", dtype="float32")
+
+    # warmup/compile
+    s.step()
+    jax.block_until_ready(s.state.U)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        s.step()
+    jax.block_until_ready(s.state.U)
+    wall = time.perf_counter() - t0
+
+    zones = N ** 3
+    zcps = zones * STEPS / wall
+    print(json.dumps({
+        "metric": "zone_cycles_per_second",
+        "value": zcps,
+        "unit": "zone-cycles/s/chip (ioniz_sphere %d^3 f32, full step)" % N,
+        "vs_baseline": zcps / REF_BASELINE,
+    }))
+
+
+if __name__ == "__main__":
+    main()
