@@ -35,14 +35,23 @@ def main():
     par.set("time", "nlim", 10000)
     s = Simulation.from_par(par, problem="ioniz_sphere", dtype="float32")
 
-    # warmup/compile
+    import jax.numpy as jnp
+
+    def sync():
+        # real device round-trip: block_until_ready is a no-op on the
+        # remote axon backend (see memory: axon-cpu-hang)
+        return float(jnp.sum(s.state.U[0, 8]))
+
+    # warmup/compile: two steps (the second covers the Eflux None->array
+    # structure retrace)
     s.step()
-    jax.block_until_ready(s.state.U)
+    s.step()
+    sync()
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         s.step()
-    jax.block_until_ready(s.state.U)
+    sync()
     wall = time.perf_counter() - t0
 
     zones = N ** 3

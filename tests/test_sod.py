@@ -52,3 +52,26 @@ class TestSod:
         mass = U[0].sum() * s.grid.dx[0]
         assert mass == pytest.approx(0.5625, rel=1e-12)
         assert not np.isnan(U).any()
+
+
+class TestBrioWu:
+    """1D MHD shock tube vs reference (golden from the C binary, 95 cycles
+    to t=0.1; agreement ~1e-15)."""
+
+    def test_matches_reference(self):
+        from atmospheric_athena_tpu.eos import cons1d_to_prim1d
+        from atmospheric_athena_tpu.integrators.sweep import to_sweep
+        s = Simulation.from_file(
+            "/root/reference/tst/1D-mhd/athinput.brio-wu", gas="mhd")
+        s.run()
+        assert int(s.state.nstep) == 95
+        ref = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                   "briowu_t0.1_prim.npz"))["data"]
+        U1d, Bxc = to_sweep(s.state.U, s.state.Bcc, 0, s.sim)
+        W = np.asarray(cons1d_to_prim1d(U1d, Bxc, s.sim))[:, 0, 0, :]
+        sl = s.grid.interior()[2]
+        mine = W[:, sl]
+        for k, col in [(0, 2), (1, 3), (2, 4), (3, 5), (4, 6), (5, 8),
+                       (6, 9)]:
+            np.testing.assert_allclose(mine[k], ref[:, col], rtol=0,
+                                       atol=1e-11)
