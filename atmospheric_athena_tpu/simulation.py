@@ -124,6 +124,10 @@ class Simulation:
 
         if ndim == 1:
             from .integrators import ctu1d as integ
+        elif sim.mhd:
+            if ndim != 3:
+                raise NotImplementedError("2D MHD CTU pending")
+            from .integrators import ctu3d_mhd as integ
         else:
             from .integrators import ctu3d as integ  # handles 2D and 3D
 

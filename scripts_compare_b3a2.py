@@ -1,0 +1,31 @@
+import os
+os.environ['JAX_PLATFORMS']='cpu'
+import jax; jax.config.update('jax_enable_x64', True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import numpy as np
+from atmospheric_athena_tpu import Simulation
+
+s = Simulation.from_file('/root/repo/.refbuild/run/blast3dmhd/athinput.b3a2', gas='mhd')
+from atmospheric_athena_tpu.integrators import ctu3d_mhd
+from atmospheric_athena_tpu import bvals, dt as dt_mod
+import jax.numpy as jnp
+for i in range(2):
+    dt = jnp.minimum(s.state.dt, s.tlim - s.state.time)
+    st = ctu3d_mhd.step(s.state, dt, s.sim, s.grid, s.problem)
+    st = st.replace(time=st.time+dt, nstep=st.nstep+1, dt=dt)
+    st = st.replace(dt=dt_mod.new_dt(st, s.sim, s.grid, s.cour_no))
+    s.state = bvals.apply_bc(st, s.grid, s.sim, s.problem)
+print('t:', float(s.state.time), 'steps:', int(s.state.nstep), flush=True)
+ref = np.loadtxt('/root/repo/.refbuild/run/blast3dmhd/asym2/Blast_B1.0001.tab')
+Nx, Ny, Nz = 32, 48, 32
+U = np.asarray(s.state.U)[(slice(None),)+s.grid.interior()]
+B = np.asarray(s.state.Bcc)[(slice(None),)+s.grid.interior()]
+cols = {'d':(U[0],6),'M1':(U[1],7),'M2':(U[2],8),'M3':(U[3],9),'E':(U[4],10),
+        'B1c':(B[0],11),'B2c':(B[1],12),'B3c':(B[2],13)}
+ok = True
+for name,(q,c) in cols.items():
+    r = ref[:,c].reshape(Nz,Ny,Nx)
+    diff = np.abs(q-r)
+    am = np.unravel_index(diff.argmax(), diff.shape)
+    print(f'{name}: max abs diff {diff.max():.3e} at zyx={am}', flush=True)
+print('DONE', flush=True)
