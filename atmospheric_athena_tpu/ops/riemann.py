@@ -15,6 +15,7 @@ branch-free, identical results.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
@@ -198,13 +199,194 @@ def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
 
     F = jnp.stack(F)
 
-    # HLLE fallback where an intermediate state went non-positive
+    # HLLE fallback where an intermediate state went non-positive.  The
+    # reference computes HLLE only per failing interface (roe.c:281-284);
+    # here a lax.cond skips the whole HLLE evaluation on the (typical)
+    # steps with no failures at all.
     use_hlle = bad & ~(sup_l | sup_r)
-    F_hlle = hlle(Ul, Ur, Wl, Wr, Bxi, sim)
-    return jnp.where(use_hlle, F_hlle, F)
+
+    def with_fallback(_):
+        F_hlle = hlle(Ul, Ur, Wl, Wr, Bxi, sim)
+        return jnp.where(use_hlle, F_hlle, F)
+
+    return jax.lax.cond(jnp.any(use_hlle), with_fallback, lambda _: F, None)
 
 
-SOLVERS = {"roe": roe, "hlle": hlle}
+def hllc(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+    """HLLC flux, hydro only (hllc.c:32-254): HLLE bounds + restored
+    contact wave with pressure cp and speed am."""
+    assert not sim.mhd, "HLLC is hydro-only (hllc.c:36-37)"
+    avg = _roe_averages(Ul, Ur, Wl, Wr, Bxi, sim)
+    ev, _, _ = _esys_roe(avg, Bxi, sim, vectors=False)
+
+    if sim.adiabatic:
+        cfl = jnp.sqrt(sim.gamma * Wl[4] / Wl[0])
+        cfr = jnp.sqrt(sim.gamma * Wr[4] / Wr[0])
+    else:
+        cfl = cfr = sim.iso_csound
+    ar = jnp.maximum(ev[sim.nwave - 1], Wr[1] + cfr)
+    al = jnp.minimum(ev[0], Wl[1] - cfl)
+    bp = jnp.maximum(ar, 0.0)
+    bm = jnp.minimum(al, 0.0)
+
+    # contact speed and pressure (hllc.c:127-146)
+    if sim.adiabatic:
+        tl = Wl[4] + (Wl[1] - al) * Ul[1]
+        tr = Wr[4] + (Wr[1] - ar) * Ur[1]
+    else:
+        tl = Wl[0] * sim.iso_csound2 + (Wl[1] - al) * Ul[1]
+        tr = Wr[0] * sim.iso_csound2 + (Wr[1] - ar) * Ur[1]
+    dl = Ul[1] - Ul[0] * al
+    dr = -(Ur[1] - Ur[0] * ar)
+    tmp = 1.0 / (dl + dr)
+    am = (tl - tr) * tmp
+    cp = jnp.maximum((dl * tr + dr * tl) * tmp, 0.0)
+
+    Fl, Fr = _lr_fluxes(Ul, Ur, Wl, Wr, Bxi, 0.0, 0.0, sim, bm=bm, bp=bp)
+
+    # flux weights (hllc.c:183-196)
+    pos = am >= 0.0
+    sl = jnp.where(pos, am / (am - bm), 0.0)
+    sr = jnp.where(pos, 0.0, -am / (bp - am))
+    sm = jnp.where(pos, -bm / (am - bm), bp / (bp - am))
+
+    nw = sim.nwave
+    F = [sl * Fl[n] + sr * Fr[n] for n in range(nw)]
+    F[1] = F[1] + sm * cp
+    if sim.adiabatic:
+        F[4] = F[4] + sm * cp * am
+    for n in range(sim.nscalars):
+        F.append(jnp.where(F[0] >= 0.0, F[0] * Wl[nw + n], F[0] * Wr[nw + n]))
+    return jnp.stack(F)
+
+
+def hlld(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+    """HLLD flux, adiabatic MHD only (hlld.c:40-397; Miyoshi & Kusano 2005).
+    Branch-free formulation: all four candidate fluxes (Fl*, Fl**, Fr**,
+    Fr*) are formed and selected by the signal-speed signs, with the
+    reference's degenerate-case guards (SMALL_NUMBER = 1e-8, hlld.c:37)."""
+    assert sim.mhd and sim.adiabatic, "HLLD is adiabatic-MHD only"
+    SMALL = 1e-8
+    ib = 5
+    nw = sim.nwave
+    Bxsq = Bxi ** 2
+
+    pbl = 0.5 * (Bxsq + Wl[ib] ** 2 + Wl[ib + 1] ** 2)
+    pbr = 0.5 * (Bxsq + Wr[ib] ** 2 + Wr[ib + 1] ** 2)
+    gpl = sim.gamma * Wl[4]
+    gpr = sim.gamma * Wr[4]
+    gpbl = gpl + 2.0 * pbl
+    gpbr = gpr + 2.0 * pbr
+    cfl = jnp.sqrt((gpbl + jnp.sqrt(gpbl ** 2 - 4 * gpl * Bxsq))
+                   / (2.0 * Wl[0]))
+    cfr = jnp.sqrt((gpbr + jnp.sqrt(gpbr ** 2 - 4 * gpr * Bxsq))
+                   / (2.0 * Wr[0]))
+    cfmax = jnp.maximum(cfl, cfr)
+    lle = Wl[1] <= Wr[1]
+    spd0 = jnp.where(lle, Wl[1] - cfmax, Wr[1] - cfmax)
+    spd4 = jnp.where(lle, Wr[1] + cfmax, Wl[1] + cfmax)
+
+    ptl = Wl[4] + pbl
+    ptr = Wr[4] + pbr
+
+    def lrflux(U, W, pt):
+        return [U[1],
+                U[1] * W[1] + pt - Bxsq,
+                U[0] * W[1] * W[2] - Bxi * U[ib],
+                U[0] * W[1] * W[3] - Bxi * U[ib + 1],
+                W[1] * (U[4] + pt - Bxsq) - Bxi * (W[2] * U[ib] +
+                                                   W[3] * U[ib + 1]),
+                U[ib] * W[1] - Bxi * W[2],
+                U[ib + 1] * W[1] - Bxi * W[3]]
+    Fl = lrflux(Ul, Wl, ptl)
+    Fr = lrflux(Ur, Wr, ptr)
+
+    sdl = spd0 - Wl[1]
+    sdr = spd4 - Wr[1]
+    spd2 = (sdr * Wr[0] * Wr[1] - sdl * Wl[0] * Wl[1] - ptr + ptl) / \
+        (sdr * Wr[0] - sdl * Wl[0])
+    sdml = spd0 - spd2
+    sdmr = spd4 - spd2
+    dlst = Ul[0] * sdl / sdml
+    drst = Ur[0] * sdr / sdmr
+    sqrtdl = jnp.sqrt(dlst)
+    sqrtdr = jnp.sqrt(drst)
+    spd1 = spd2 - jnp.abs(Bxi) / sqrtdl
+    spd3 = spd2 + jnp.abs(Bxi) / sqrtdr
+
+    ptst = ptl + Ul[0] * sdl * (sdl - sdml)
+
+    def star(U, W, sd, sdm, dst, pt):
+        """U* state (M&K eqns 39-48) as a 7-list + v*·B*."""
+        Mx = dst * spd2
+        denom = U[0] * sd * sdm - Bxsq
+        deg = jnp.abs(U[0] * sd * sdm / Bxsq - 1.0) < SMALL
+        safe = jnp.where(deg, 1.0, denom)
+        tmp = Bxi * (sd - sdm) / safe
+        My = jnp.where(deg, dst * W[2], dst * (W[2] - U[ib] * tmp))
+        Mz = jnp.where(deg, dst * W[3], dst * (W[3] - U[ib + 1] * tmp))
+        tmp2 = (U[0] * sd ** 2 - Bxsq) / safe
+        By = jnp.where(deg, U[ib], U[ib] * tmp2)
+        Bz = jnp.where(deg, U[ib + 1], U[ib + 1] * tmp2)
+        vbst = (Mx * Bxi + My * By + Mz * Bz) / dst
+        E = (sd * U[4] - pt * W[1] + ptst * spd2 +
+             Bxi * (W[1] * Bxi + W[2] * U[ib] + W[3] * U[ib + 1]
+                    - vbst)) / sdm
+        return [dst, Mx, My, Mz, E, By, Bz], vbst
+
+    Ulst, vbstl = star(Ul, Wl, sdl, sdml, dlst, ptl)
+    Urst, vbstr = star(Ur, Wr, sdr, sdmr, drst, ptr)
+    Wlst_v = [Ulst[2] / dlst, Ulst[3] / dlst]
+    Wrst_v = [Urst[2] / drst, Urst[3] / drst]
+
+    # ** states (M&K eqns 59-63); collapse to * states when Bx ~ 0
+    nobx = 0.5 * Bxsq / jnp.minimum(pbl, pbr) < SMALL ** 2
+    invsumd = 1.0 / (sqrtdl + sqrtdr)
+    Bxsig = jnp.where(Bxi > 0, 1.0, -1.0)
+    vydst = invsumd * (sqrtdl * Wlst_v[0] + sqrtdr * Wrst_v[0] +
+                       Bxsig * (Urst[5] - Ulst[5]))
+    vzdst = invsumd * (sqrtdl * Wlst_v[1] + sqrtdr * Wrst_v[1] +
+                       Bxsig * (Urst[6] - Ulst[6]))
+    Bydst = invsumd * (sqrtdl * Urst[5] + sqrtdr * Ulst[5] +
+                       Bxsig * sqrtdl * sqrtdr * (Wrst_v[0] - Wlst_v[0]))
+    Bzdst = invsumd * (sqrtdl * Urst[6] + sqrtdr * Ulst[6] +
+                       Bxsig * sqrtdl * sqrtdr * (Wrst_v[1] - Wlst_v[1]))
+    tmp = spd2 * Bxi + vydst * Bydst + vzdst * Bzdst
+    Eldst = Ulst[4] - sqrtdl * Bxsig * (vbstl - tmp)
+    Erdst = Urst[4] + sqrtdr * Bxsig * (vbstr - tmp)
+
+    def pick(st, dst_val):
+        return jnp.where(nobx, st, dst_val)
+    Uldst = [Ulst[0], Ulst[1],
+             pick(Ulst[2], Ulst[0] * vydst), pick(Ulst[3], Ulst[0] * vzdst),
+             pick(Ulst[4], Eldst), pick(Ulst[5], Bydst),
+             pick(Ulst[6], Bzdst)]
+    Urdst = [Urst[0], Urst[1],
+             pick(Urst[2], Urst[0] * vydst), pick(Urst[3], Urst[0] * vzdst),
+             pick(Urst[4], Erdst), pick(Urst[5], Bydst),
+             pick(Urst[6], Bzdst)]
+
+    # final flux selection (hlld.c:340-382 + supersonic at :151-168)
+    F = []
+    t1 = spd1 - spd0
+    t3 = spd3 - spd4
+    for n in range(7):
+        fls = Fl[n] + spd0 * (Ulst[n] - Ul[n])
+        fld = Fl[n] - spd0 * Ul[n] - t1 * Ulst[n] + spd1 * Uldst[n]
+        frd = Fr[n] - spd4 * Ur[n] - t3 * Urst[n] + spd3 * Urdst[n]
+        frs = Fr[n] + spd4 * (Urst[n] - Ur[n])
+        f = jnp.where(spd1 >= 0, fls,
+                      jnp.where(spd2 >= 0, fld,
+                                jnp.where(spd3 > 0, frd, frs)))
+        f = jnp.where(spd0 >= 0.0, Fl[n], jnp.where(spd4 <= 0.0, Fr[n], f))
+        F.append(f)
+    for n in range(sim.nscalars):
+        F.append(jnp.where(F[0] >= 0.0, F[0] * Wl[nw + n],
+                           F[0] * Wr[nw + n]))
+    return jnp.stack(F)
+
+
+SOLVERS = {"roe": roe, "hlle": hlle, "hllc": hllc, "hlld": hlld}
 
 
 def fluxes(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
