@@ -40,25 +40,20 @@ def dc(W, Bx, dtodx, sim: SimConfig):
     return W, W
 
 
-def plm(W, Bx, dtodx, sim: SimConfig):
-    """Piecewise-linear characteristic reconstruction + CTU tracing.
-
-    W: stacked primitives [nvar1d, ..., M]; Bx: [..., M] (MHD) or None.
-    dtodx: dt/dx (traced scalar).  Returns (Wminus, Wplus), same shape as W.
-    """
+def _char_slopes(W, Bx, sim: SimConfig):
+    """Monotonized characteristic slopes dWm per cell plus the eigensystem —
+    PLM steps 1-5 (lr_states_plm.c:98-203), shared by PLM and PPM (the
+    latter repeats them verbatim, lr_states_ppm.c:105-207)."""
     nw = sim.nwave
-    ns = sim.nscalars
-    nv = nw + ns
+    nv = nw + sim.nscalars
     assert W.shape[0] == nv, (W.shape, nv)
 
     Wc = [W[n] for n in range(nv)]
     Wp = [_sh(W[n], 1) for n in range(nv)]
     Wm = [_sh(W[n], -1) for n in range(nv)]
 
-    # Step 1: eigensystem at each cell (lr_states_plm.c:101-117)
     ev, rem, lem = eigen.esys_prim(W, Bx, sim)
 
-    # Step 2: centered / L / R / van-Leer differences (:131-147)
     dWc = [p - m for p, m in zip(Wp, Wm)]
     dWl = [c - m for c, m in zip(Wc, Wm)]
     dWr = [p - c for p, c in zip(Wp, Wc)]
@@ -66,13 +61,11 @@ def plm(W, Bx, dtodx, sim: SimConfig):
                                                           l + r), 0.0)
            for l, r in zip(dWl, dWr)]
 
-    # Step 3: project onto characteristics (:152-175); scalars use identity
     dac = eigen.lmul(lem, dWc[:nw]) + dWc[nw:]
     dal = eigen.lmul(lem, dWl[:nw]) + dWl[nw:]
     dar = eigen.lmul(lem, dWr[:nw]) + dWr[nw:]
     dag = eigen.lmul(lem, dWg[:nw]) + dWg[nw:]
 
-    # Step 4: monotonicity constraint per characteristic (:180-187)
     da = []
     for c, l, r, g in zip(dac, dal, dar, dag):
         lim1 = jnp.minimum(jnp.abs(l), jnp.abs(r))
@@ -80,8 +73,19 @@ def plm(W, Bx, dtodx, sim: SimConfig):
         da.append(jnp.where(l * r > 0.0,
                             jnp.sign(c) * jnp.minimum(2.0 * lim1, lim2), 0.0))
 
-    # Step 5: project back to primitives (:192-203)
     dWmn = eigen.rmul(rem, da[:nw]) + da[nw:]
+    return Wc, Wp, Wm, dWmn, ev, rem, lem
+
+
+def plm(W, Bx, dtodx, sim: SimConfig):
+    """Piecewise-linear characteristic reconstruction + CTU tracing.
+
+    W: stacked primitives [nvar1d, ..., M]; Bx: [..., M] (MHD) or None.
+    dtodx: dt/dx (traced scalar).  Returns (Wminus, Wplus), same shape as W.
+    """
+    nw = sim.nwave
+    nv = nw + sim.nscalars
+    Wc, Wp, Wm, dWmn, ev, rem, lem = _char_slopes(W, Bx, sim)
 
     # Step 7: L/R values limited between neighbours (:222-236; Cartesian
     # gamma_curv=0 so beta=1)
@@ -176,10 +180,134 @@ def _trace_hll(Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim):
     return jnp.stack(Wminus), jnp.stack(Wplus)
 
 
+def ppm(W, Bx, dtodx, sim: SimConfig):
+    """Piecewise-parabolic (Colella-Woodward) characteristic reconstruction
+    with CTU tracing (lr_states_ppm.c:67-660).
+
+    Deviation noted: the reference's scalar wave-subtraction indexes dW/W6
+    with a stale loop variable (lr_states_ppm.c:639,643 use m==NWAVE-1
+    instead of n) — we use the scalar's own dW/W6.
+    """
+    nw = sim.nwave
+    nv = nw + sim.nscalars
+    Wc, Wp, Wm, dWmn, ev, rem, lem = _char_slopes(W, Bx, sim)
+
+    # Step 14: parabolic left-interface values Wim1h[i] (CW eqn 1.6)
+    Wlv = []
+    Wrv = []
+    for n in range(nv):
+        wim1h = 0.5 * (Wc[n] + Wm[n]) - (dWmn[n] - _sh(dWmn[n], -1)) / 6.0
+        Wlv.append(wim1h)                 # left interface of cell i
+        Wrv.append(_sh(wim1h, 1))         # left interface of cell i+1
+
+    # Step 16: parabola monotonization (CW eqn 1.10; if/elif chain at
+    # lr_states_ppm.c:465-477 with gamma_curv=0: (6W-4·)/2 = 3W-2·) then
+    # neighbor clamps (:479-484)
+    for n in range(nv):
+        qa = (Wrv[n] - Wc[n]) * (Wc[n] - Wlv[n])
+        qb = Wrv[n] - Wlv[n]
+        qc = 6.0 * (Wc[n] - 0.5 * (Wlv[n] + Wrv[n]))
+        c1 = qa <= 0.0
+        c2 = (~c1) & (qb * qc > qb * qb)
+        c3 = (~c1) & (~c2) & (qb * qc < -(qb * qb))
+        lv = jnp.where(c1, Wc[n],
+                       jnp.where(c2, 3.0 * Wc[n] - 2.0 * Wrv[n], Wlv[n]))
+        rv = jnp.where(c1, Wc[n],
+                       jnp.where(c3, 3.0 * Wc[n] - 2.0 * Wlv[n], Wrv[n]))
+        lv = jnp.maximum(jnp.minimum(Wc[n], Wm[n]), lv)
+        lv = jnp.minimum(jnp.maximum(Wc[n], Wm[n]), lv)
+        rv = jnp.maximum(jnp.minimum(Wc[n], Wp[n]), rv)
+        rv = jnp.minimum(jnp.maximum(Wc[n], Wp[n]), rv)
+        Wlv[n], Wrv[n] = lv, rv
+
+    dW = [r - l for r, l in zip(Wrv, Wlv)]
+    W6 = [6.0 * (c - 0.5 * (l + r)) for c, l, r in zip(Wc, Wlv, Wrv)]
+
+    if sim.integrator != "ctu":
+        return jnp.stack(Wlv), jnp.stack(Wrv)
+
+    F43 = 4.0 / 3.0
+    if sim.flux in HLL_FLUXES:
+        Wplus = list(Wrv)
+        Wminus = list(Wlv)
+        dWw, W6w = dW[:nw], W6[:nw]
+        for n in range(nw):
+            qx = 0.5 * dtodx * ev[n]
+            qc = F43 * qx * qx
+            qa_p = eigen.lmul([lem[n]], [qx * (d - w) + qc * w
+                                         for d, w in zip(dWw, W6w)])[0]
+            qa_m = eigen.lmul([lem[n]], [qx * (d + w) + qc * w
+                                         for d, w in zip(dWw, W6w)])[0]
+            qa_p = jnp.where(ev[n] > 0.0, qa_p, 0.0)
+            qa_m = jnp.where(ev[n] < 0.0, qa_m, 0.0)
+            rcol = eigen.column(rem, n)
+            for m in range(nw):
+                c = rcol[m]
+                if isinstance(c, float) and c == 0.0:
+                    continue
+                Wplus[m] = Wplus[m] - qa_p * c
+                Wminus[m] = Wminus[m] - qa_m * c
+        return jnp.stack(Wminus), jnp.stack(Wplus)
+
+    # Step 18: parabola integrals over the max/min wave fans
+    ev_max, ev_min = ev[nw - 1], ev[0]
+    qx1 = 0.5 * jnp.maximum(ev_max, 0.0) * dtodx
+    Wplus = [rv - qx1 * (d - (1.0 - F43 * qx1) * w)
+             for rv, d, w in zip(Wrv, dW, W6)]
+    qx2 = -0.5 * jnp.minimum(ev_min, 0.0) * dtodx
+    Wminus = [lv + qx2 * (d + (1.0 - F43 * qx2) * w)
+              for lv, d, w in zip(Wlv, dW, W6)]
+
+    # Step 19: per-wave corrections
+    dWw, W6w = dW[:nw], W6[:nw]
+    for n in range(nw):
+        qx1 = 0.5 * dtodx * ev_max
+        qx2 = 0.5 * dtodx * ev[n]
+        qb = qx1 - qx2
+        qc = F43 * (qx1 * qx1 - qx2 * qx2)
+        qa = eigen.lmul([lem[n]], [qb * (d - w) + qc * w
+                                   for d, w in zip(dWw, W6w)])[0]
+        qa = jnp.where(ev[n] >= 0.0, qa, 0.0)
+        rcol = eigen.column(rem, n)
+        for m in range(nw):
+            c = rcol[m]
+            if isinstance(c, float) and c == 0.0:
+                continue
+            Wplus[m] = Wplus[m] + qa * c
+
+        qx1 = 0.5 * dtodx * ev_min
+        qb = qx1 - qx2
+        qc = F43 * (qx1 * qx1 - qx2 * qx2)
+        qa = eigen.lmul([lem[n]], [qb * (d + w) + qc * w
+                                   for d, w in zip(dWw, W6w)])[0]
+        qa = jnp.where(ev[n] <= 0.0, qa, 0.0)
+        for m in range(nw):
+            c = rcol[m]
+            if isinstance(c, float) and c == 0.0:
+                continue
+            Wminus[m] = Wminus[m] + qa * c
+
+    # scalar wave subtraction (with the index fix noted above)
+    Vx = Wc[1]
+    for n in range(nw, nv):
+        qb = 0.5 * dtodx * (ev_max - Vx)
+        qc = 0.5 * dtodx * dtodx * (2.0 / 3.0) * (ev_max ** 2 - Vx ** 2)
+        Wplus[n] = Wplus[n] + jnp.where(
+            Vx > 0.0, qb * (dW[n] - W6[n]) + qc * W6[n], 0.0)
+        qb = 0.5 * dtodx * (ev_min - Vx)
+        qc = 0.5 * dtodx * dtodx * (2.0 / 3.0) * (ev_min ** 2 - Vx ** 2)
+        Wminus[n] = Wminus[n] + jnp.where(
+            Vx < 0.0, qb * (dW[n] + W6[n]) + qc * W6[n], 0.0)
+
+    return jnp.stack(Wminus), jnp.stack(Wplus)
+
+
 def lr_states(W, Bx, dtodx, sim: SimConfig):
     """Dispatch on sim.order (reconstruction/prototypes.h:40-46)."""
     if sim.order == "1":
         return dc(W, Bx, dtodx, sim)
     if sim.order == "2":
         return plm(W, Bx, dtodx, sim)
+    if sim.order == "3":
+        return ppm(W, Bx, dtodx, sim)
     raise NotImplementedError(f"order={sim.order} not yet implemented")
