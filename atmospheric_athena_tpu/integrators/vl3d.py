@@ -1,0 +1,238 @@
+"""3D van Leer (MUSCL-Hancock) predictor-corrector integrator
+(reference: src/integrators/integrate_3d_vl.c, step map :145-1436).
+
+Steps: (1-3) first-order donor-cell fluxes at t^n; (4) half-dt CT [MHD];
+(5) half-dt conservative update -> Uhalf; (6) half-dt source terms;
+(7-9) second-order L/R states from Uhalf (no characteristic tracing —
+lr_states' non-CTU branch); (10) full fluxes; (11) full-dt CT [MHD];
+(12) full-dt source terms using Uhalf; (13) conservative update;
+(14) first-order flux correction (FOFC) of cells with negative d or P.
+
+The vectorized FOFC is the divergence-form equivalent of the reference's
+FixCell (integrate_3d_vl.c:1995-2190): every face (and corner EMF) adjacent
+to a bad cell reverts to the saved predictor flux/EMF, applied as a masked
+flux-difference correction — conservation-preserving, including the
+neighbor adjustments.  (The reference's x3FD_kp1 reads x2Flux — a
+transcription bug not reproduced here.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GridConfig, SimConfig
+from ..defs import ID, IEN, IM1
+from ..eos import cons1d_to_prim1d, prim1d_to_cons1d
+from ..ops import reconstruct, riemann
+from ..state import State
+from .ctu3d import _phi_arrays, _sh, _shf
+from .ctu3d_mhd import _corner_emf, _emf_cc
+from .sweep import permute_from_sweep, permute_to_sweep
+
+#: debug capture (testing only)
+DEBUG = None
+
+
+def _dbg(**kw):
+    if DEBUG is not None:
+        DEBUG.update(kw)
+
+
+def _sweep_pack(U, Bcc, a, sim):
+    """Stacked 1D-slice array for axis a, MHD-aware."""
+    U1d = permute_to_sweep(U, a, sim)
+    if not sim.mhd:
+        return U1d, None
+    mv = lambda f: jnp.moveaxis(f, 2 - a, -1)
+    ib = 5 if sim.adiabatic else 4
+    a1, a2 = (a + 1) % 3, (a + 2) % 3
+    U1d = jnp.concatenate([U1d[:ib], mv(Bcc[a1])[None], mv(Bcc[a2])[None],
+                           U1d[ib:]], 0)
+    return U1d, mv(Bcc[a])
+
+
+def _sweep_unpack_flux(F, a, sim):
+    """(physical hydro flux, sweep (By,Bz) flux or None)."""
+    if not sim.mhd:
+        return permute_from_sweep(F, a, sim), None
+    ib = 5 if sim.adiabatic else 4
+    hyd = jnp.concatenate([F[:ib], F[ib + 2:]], 0)
+    return permute_from_sweep(hyd, a, sim), jnp.moveaxis(F[ib:ib + 2],
+                                                         -1, 3 - a)
+
+
+def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
+    axes = [a for a in range(3) if grid.active(a)]
+    assert len(axes) == 3, "vl3d handles 3D; 1D/2D VL pending"
+    dtodx = {a: dt / grid.dx[a] for a in axes}
+    q = {a: 0.5 * dtodx[a] for a in axes}
+
+    U = state.U
+    Bcc = state.Bcc
+    Bi = [state.B1i, state.B2i, state.B3i] if sim.mhd else None
+    phic, phif = _phi_arrays(problem, grid, U.dtype)
+
+    # === STEPS 1-3: first-order (donor cell) fluxes at t^n ==================
+    Fp, FByz = {}, {}
+    for a in axes:
+        U1d, Bxc = _sweep_pack(U, Bcc, a, sim)
+        W = cons1d_to_prim1d(U1d, Bxc, sim)
+        Wl = jnp.roll(W, 1, axis=-1)
+        Wr = W
+        Bxl = jnp.roll(Bxc, 1, axis=-1) if sim.mhd else None
+        Ul = prim1d_to_cons1d(Wl, Bxl, sim)
+        Ur = prim1d_to_cons1d(Wr, Bxc, sim)
+        Bxi = jnp.moveaxis(Bi[a], 2 - a, -1) if sim.mhd else None
+        F = riemann.fluxes(Ul, Ur, Wl, Wr, Bxi, sim)
+        Fp[a], FByz[a] = _sweep_unpack_flux(F, a, sim)
+
+    # === STEP 4: half-dt CT [MHD] ===========================================
+    if sim.mhd:
+        d = U[ID]
+        emf_cc = _emf_cc(Bcc, U[IM1] / d, U[IM1 + 1] / d, U[IM1 + 2] / d)
+        emfP = [_corner_emf(e, Fp, FByz, emf_cc) for e in axes]
+        Bf = []
+        for a in axes:
+            a1, a2 = (a + 1) % 3, (a + 2) % 3
+            Bf.append(Bi[a]
+                      + q[a2] * (_shf(emfP[a1], 1, a2) - emfP[a1])
+                      - q[a1] * (_shf(emfP[a2], 1, a1) - emfP[a2]))
+        Bcch = jnp.stack([0.5 * (Bf[a] + _shf(Bf[a], 1, a)) for a in axes])
+    else:
+        Bf = Bcch = None
+
+    if sim.mhd:
+        _dbg(Fp=Fp, FByz=FByz, emfP=emfP, Bf=Bf)
+
+    # === STEP 5: half-dt conservative update ================================
+    Uhalf = U
+    for a in axes:
+        Uhalf = Uhalf - q[a] * (_sh(Fp[a], 1, a) - Fp[a])
+
+    # === STEP 6: half-dt source terms =======================================
+    if phic is not None:
+        for a in axes:
+            phir = _shf(phif[a], 1, a)
+            phil = phif[a]
+            Uhalf = Uhalf.at[IM1 + a].add(-q[a] * (phir - phil) * U[ID])
+            if sim.adiabatic:
+                dE = q[a] * (Fp[a][ID] * (phic - phil) +
+                             _shf(Fp[a][ID], 1, a) * (phir - phic))
+                Uhalf = Uhalf.at[IEN].add(-dE)
+
+    # === STEPS 7-10: second-order states from Uhalf + full fluxes ===========
+    Fp2, FByz2 = {}, {}
+    for a in axes:
+        U1d, Bxc = _sweep_pack(Uhalf, Bcch, a, sim)
+        W = cons1d_to_prim1d(U1d, Bxc, sim)
+        Wm, Wp_ = reconstruct.lr_states(W, Bxc, dtodx[a], sim)
+        Wl = jnp.roll(Wp_, 1, axis=-1)
+        Wr = Wm
+        Bxi = jnp.moveaxis(Bf[a], 2 - a, -1) if sim.mhd else None
+        Ul = prim1d_to_cons1d(Wl, Bxi, sim)
+        Ur = prim1d_to_cons1d(Wr, Bxi, sim)
+        F = riemann.fluxes(Ul, Ur, Wl, Wr, Bxi, sim)
+        Fp2[a], FByz2[a] = _sweep_unpack_flux(F, a, sim)
+
+    # === STEP 11: full-dt CT [MHD] ==========================================
+    if sim.mhd:
+        dh = Uhalf[ID]
+        emf_cc_h = _emf_cc(Bcch, Uhalf[IM1] / dh, Uhalf[IM1 + 1] / dh,
+                           Uhalf[IM1 + 2] / dh)
+        emfC = [_corner_emf(e, Fp2, FByz2, emf_cc_h) for e in axes]
+
+    if sim.mhd:
+        _dbg(Fp2=Fp2, FByz2=FByz2, emfC=emfC, emf_cc_h=emf_cc_h)
+
+    # === STEP 12: full-dt source terms ======================================
+    Unew = U
+    if phic is not None:
+        for a in axes:
+            phir = _shf(phif[a], 1, a)
+            phil = phif[a]
+            Unew = Unew.at[IM1 + a].add(
+                -dtodx[a] * (phir - phil) * Uhalf[ID])
+            if sim.adiabatic:
+                dE = dtodx[a] * (Fp2[a][ID] * (phic - phil) +
+                                 _shf(Fp2[a][ID], 1, a) * (phir - phic))
+                Unew = Unew.at[IEN].add(-dE)
+
+    # === STEP 13: conservative update =======================================
+    for a in axes:
+        Unew = Unew - dtodx[a] * (_sh(Fp2[a], 1, a) - Fp2[a])
+
+    def face_update(emfs):
+        out = []
+        for a in axes:
+            a1, a2 = (a + 1) % 3, (a + 2) % 3
+            out.append(Bi[a]
+                       + dtodx[a2] * (_shf(emfs[a1], 1, a2) - emfs[a1])
+                       - dtodx[a1] * (_shf(emfs[a2], 1, a1) - emfs[a2]))
+        return out
+
+    if sim.mhd:
+        emf_use = list(emfC)
+
+    # === STEP 14: first-order flux correction ===============================
+    if sim.first_order_flux_correction:
+        if sim.mhd:
+            Bt = face_update(emfC)
+            Bcc_test = jnp.stack([0.5 * (Bt[a] + _shf(Bt[a], 1, a))
+                                  for a in axes])
+        dn = Unew[ID]
+        ke = 0.5 * (Unew[IM1] ** 2 + Unew[IM1 + 1] ** 2 +
+                    Unew[IM1 + 2] ** 2) / dn
+        if sim.adiabatic:
+            P = Unew[IEN] - ke
+            if sim.mhd:
+                P = P - 0.5 * (Bcc_test ** 2).sum(0)
+            bad = (dn < 0.0) | (P < 0.0)
+        else:
+            bad = dn < 0.0
+
+        def fix(args):
+            Unew, emf_use = args
+            Uc = Unew
+            for a in axes:
+                bad_face = bad | _shf(bad, -1, a)
+                FD = jnp.where(bad_face, Fp2[a] - Fp[a], 0.0)
+                Uc = Uc + dtodx[a] * (_sh(FD, 1, a) - FD)
+            if sim.mhd:
+                new_emf = []
+                for e in axes:
+                    b, c = (e + 1) % 3, (e + 2) % 3
+                    mask = bad | _shf(bad, -1, b) | _shf(bad, -1, c) | \
+                        _shf(_shf(bad, -1, b), -1, c)
+                    new_emf.append(jnp.where(mask, emfP[e], emf_use[e]))
+            else:
+                new_emf = emf_use
+            return Uc, new_emf
+
+        if sim.mhd:
+            Unew, emf_use = jax.lax.cond(
+                jnp.any(bad), fix, lambda x: x, (Unew, emf_use))
+        else:
+            Unew = jax.lax.cond(jnp.any(bad),
+                                lambda x: fix((x, None))[0],
+                                lambda x: x, Unew)
+
+    sl = (slice(None),) + grid.interior()
+    Uout = U.at[sl].set(Unew[sl])
+
+    kw = {}
+    if sim.mhd:
+        Binew = face_update(emf_use)
+        Biout = []
+        for a in axes:
+            idx = []
+            for dim, ax in enumerate((2, 1, 0)):
+                upper = grid.hi(ax) + 1 + (1 if ax == a else 0)
+                idx.append(slice(grid.lo(ax), upper))
+            Biout.append(Bi[a].at[tuple(idx)].set(Binew[a][tuple(idx)]))
+        Bcc_new = jnp.stack([0.5 * (Biout[a] + _shf(Biout[a], 1, a))
+                             for a in axes])
+        Bcc_out = Bcc.at[sl].set(Bcc_new[sl])
+        kw = dict(Bcc=Bcc_out, B1i=Biout[0], B2i=Biout[1], B3i=Biout[2])
+
+    return state.replace(U=Uout, **kw)

@@ -40,10 +40,12 @@ def dc(W, Bx, dtodx, sim: SimConfig):
     return W, W
 
 
-def _char_slopes(W, Bx, sim: SimConfig):
-    """Monotonized characteristic slopes dWm per cell plus the eigensystem —
+def _char_slopes(W, Bx, sim: SimConfig, characteristic=True):
+    """Monotonized slopes dWm per cell plus the eigensystem —
     PLM steps 1-5 (lr_states_plm.c:98-203), shared by PLM and PPM (the
-    latter repeats them verbatim, lr_states_ppm.c:105-207)."""
+    latter repeats them verbatim, lr_states_ppm.c:105-207).  With
+    characteristic=False the limiting acts directly on the primitive
+    variables (lr_states_prim2.c:104-131 / prim3, orders 2p/3p)."""
     nw = sim.nwave
     nv = nw + sim.nscalars
     assert W.shape[0] == nv, (W.shape, nv)
@@ -61,10 +63,13 @@ def _char_slopes(W, Bx, sim: SimConfig):
                                                           l + r), 0.0)
            for l, r in zip(dWl, dWr)]
 
-    dac = eigen.lmul(lem, dWc[:nw]) + dWc[nw:]
-    dal = eigen.lmul(lem, dWl[:nw]) + dWl[nw:]
-    dar = eigen.lmul(lem, dWr[:nw]) + dWr[nw:]
-    dag = eigen.lmul(lem, dWg[:nw]) + dWg[nw:]
+    if characteristic:
+        dac = eigen.lmul(lem, dWc[:nw]) + dWc[nw:]
+        dal = eigen.lmul(lem, dWl[:nw]) + dWl[nw:]
+        dar = eigen.lmul(lem, dWr[:nw]) + dWr[nw:]
+        dag = eigen.lmul(lem, dWg[:nw]) + dWg[nw:]
+    else:
+        dac, dal, dar, dag = dWc, dWl, dWr, dWg
 
     da = []
     for c, l, r, g in zip(dac, dal, dar, dag):
@@ -73,19 +78,24 @@ def _char_slopes(W, Bx, sim: SimConfig):
         da.append(jnp.where(l * r > 0.0,
                             jnp.sign(c) * jnp.minimum(2.0 * lim1, lim2), 0.0))
 
-    dWmn = eigen.rmul(rem, da[:nw]) + da[nw:]
+    if characteristic:
+        dWmn = eigen.rmul(rem, da[:nw]) + da[nw:]
+    else:
+        dWmn = da
     return Wc, Wp, Wm, dWmn, ev, rem, lem
 
 
-def plm(W, Bx, dtodx, sim: SimConfig):
-    """Piecewise-linear characteristic reconstruction + CTU tracing.
+def plm(W, Bx, dtodx, sim: SimConfig, characteristic=True):
+    """Piecewise-linear reconstruction + CTU tracing (characteristic
+    projection for order '2', primitive-variable limiting for '2p').
 
     W: stacked primitives [nvar1d, ..., M]; Bx: [..., M] (MHD) or None.
     dtodx: dt/dx (traced scalar).  Returns (Wminus, Wplus), same shape as W.
     """
     nw = sim.nwave
     nv = nw + sim.nscalars
-    Wc, Wp, Wm, dWmn, ev, rem, lem = _char_slopes(W, Bx, sim)
+    Wc, Wp, Wm, dWmn, ev, rem, lem = _char_slopes(W, Bx, sim,
+                                                  characteristic)
 
     # Step 7: L/R values limited between neighbours (:222-236; Cartesian
     # gamma_curv=0 so beta=1)
@@ -180,7 +190,7 @@ def _trace_hll(Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim):
     return jnp.stack(Wminus), jnp.stack(Wplus)
 
 
-def ppm(W, Bx, dtodx, sim: SimConfig):
+def ppm(W, Bx, dtodx, sim: SimConfig, characteristic=True):
     """Piecewise-parabolic (Colella-Woodward) characteristic reconstruction
     with CTU tracing (lr_states_ppm.c:67-660).
 
@@ -190,7 +200,8 @@ def ppm(W, Bx, dtodx, sim: SimConfig):
     """
     nw = sim.nwave
     nv = nw + sim.nscalars
-    Wc, Wp, Wm, dWmn, ev, rem, lem = _char_slopes(W, Bx, sim)
+    Wc, Wp, Wm, dWmn, ev, rem, lem = _char_slopes(W, Bx, sim,
+                                                  characteristic)
 
     # Step 14: parabolic left-interface values Wim1h[i] (CW eqn 1.6)
     Wlv = []
@@ -310,4 +321,8 @@ def lr_states(W, Bx, dtodx, sim: SimConfig):
         return plm(W, Bx, dtodx, sim)
     if sim.order == "3":
         return ppm(W, Bx, dtodx, sim)
+    if sim.order == "2p":
+        return plm(W, Bx, dtodx, sim, characteristic=False)
+    if sim.order == "3p":
+        return ppm(W, Bx, dtodx, sim, characteristic=False)
     raise NotImplementedError(f"order={sim.order} not yet implemented")

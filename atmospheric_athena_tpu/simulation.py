@@ -122,7 +122,11 @@ class Simulation:
         cour_no, tlim = self.cour_no, self.tlim
         ndim = grid.ndim
 
-        if ndim == 1:
+        if sim.integrator == "vl":
+            if ndim != 3:
+                raise NotImplementedError("1D/2D VL pending")
+            from .integrators import vl3d as integ
+        elif ndim == 1:
             from .integrators import ctu1d as integ
         elif sim.mhd:
             if ndim != 3:
