@@ -31,7 +31,7 @@ from ..defs import ID, IEN, IM1, TINY_NUMBER
 from ..eos import cons1d_to_prim1d, prim1d_to_cons1d
 from ..ops import reconstruct, riemann
 from ..state import State
-from .sweep import permute_from_sweep, permute_to_sweep
+from .sweep import vperm_from_sweep, vperm_to_sweep
 
 
 def _adim(axis: int) -> int:
@@ -96,20 +96,20 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
     phic, phif = _phi_arrays(problem, grid, U.dtype)
 
     # === STEPS 1-3: per-axis L/R states + first-pass fluxes =================
+    # (sweep variable order via leading-axis permutation only; shifts act on
+    # the sweep axis in place — no per-sweep transposes)
     Ulp, Urp, Fp = {}, {}, {}
     for a in axes:
-        U1d = permute_to_sweep(U, a, sim)
+        U1d = vperm_to_sweep(U, a, sim)
         W = cons1d_to_prim1d(U1d, None, sim)
-        Wm, Wp_ = reconstruct.lr_states(W, None, dtodx[a], sim)
-        Wl = jnp.roll(Wp_, 1, axis=-1)   # Wl[f] = Wplus[f-1]
+        Wm, Wp_ = reconstruct.lr_states(W, None, dtodx[a], sim, axis=2 - a)
+        Wl = _sh(Wp_, -1, a)   # Wl[f] = Wplus[f-1]
         Wr = Wm
 
         # Step 1c: static gravity for dt/2 (integrate_3d_ctu.c:318-342)
         if phic is not None:
-            pc = jnp.moveaxis(phic, 2 - a, -1)
-            pf = jnp.moveaxis(phif[a], 2 - a, -1)
-            dVl = dtodx[a] * (pf - jnp.roll(pc, 1, axis=-1))
-            dVr = dtodx[a] * (pc - pf)
+            dVl = dtodx[a] * (phif[a] - _shf(phic, -1, a))
+            dVr = dtodx[a] * (phic - phif[a])
             Wl = Wl.at[1].add(-dVl)
             Wr = Wr.at[1].add(-dVr)
 
@@ -117,9 +117,9 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
         Ur = prim1d_to_cons1d(Wr, None, sim)
         F = riemann.fluxes(Ul, Ur, Wl, Wr, None, sim)
 
-        Ulp[a] = permute_from_sweep(Ul, a, sim)
-        Urp[a] = permute_from_sweep(Ur, a, sim)
-        Fp[a] = permute_from_sweep(F, a, sim)
+        Ulp[a] = vperm_from_sweep(Ul, a, sim)
+        Urp[a] = vperm_from_sweep(Ur, a, sim)
+        Fp[a] = vperm_from_sweep(F, a, sim)
 
     # === STEPS 5-7: transverse flux-gradient corrections ====================
     # (integrate_3d_ctu.c:971-1065 and cyclic counterparts; in physical
@@ -183,14 +183,12 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
                 for cand in (eb, _shf(eb, -1, a), _shf(eb, 1, b),
                              _shf(_shf(eb, 1, b), -1, a)):
                     etah = jnp.maximum(etah, cand)
-            etah = jnp.moveaxis(etah, 2 - a, -1)
-
-        Ul = permute_to_sweep(Ulc[a], a, sim)
-        Ur = permute_to_sweep(Urc[a], a, sim)
+        Ul = vperm_to_sweep(Ulc[a], a, sim)
+        Ur = vperm_to_sweep(Urc[a], a, sim)
         Wl = cons1d_to_prim1d(Ul, None, sim)
         Wr = cons1d_to_prim1d(Ur, None, sim)
         F = riemann.fluxes(Ul, Ur, Wl, Wr, None, sim, etah=etah)
-        Fp2[a] = permute_from_sweep(F, a, sim)
+        Fp2[a] = vperm_from_sweep(F, a, sim)
 
     # === STEP 11: full-dt source terms at n+1/2 =============================
     Unew = U

@@ -28,7 +28,7 @@ from ..eos import cons1d_to_prim1d, prim1d_to_cons1d
 from ..ops import reconstruct, riemann
 from ..state import State
 from .ctu3d import _phi_arrays, _sh, _shf
-from .sweep import permute_from_sweep, permute_to_sweep
+from .sweep import vperm_from_sweep, vperm_to_sweep
 
 
 def _minmod_pair(a, b):
@@ -80,36 +80,33 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
     Byzl, Byzr, FByz = {}, {}, {}      # sweep-order (By, Bz) pairs
     for a in axes:
         a1, a2 = (a + 1) % 3, (a + 2) % 3
-        U1d = permute_to_sweep(U, a, sim)
-        mv = lambda f: jnp.moveaxis(f, 2 - a, -1)
-        Bxc = mv(Bcc[a])
+        U1d = vperm_to_sweep(U, a, sim)
+        Bxc = Bcc[a]
         ib = 5 if sim.adiabatic else 4
         U1d = jnp.concatenate([
-            U1d[:ib], mv(Bcc[a1])[None], mv(Bcc[a2])[None], U1d[ib:]], 0)
+            U1d[:ib], Bcc[a1][None], Bcc[a2][None], U1d[ib:]], 0)
         W = cons1d_to_prim1d(U1d, Bxc, sim)
-        Wm, Wp_ = reconstruct.lr_states(W, Bxc, dtodx[a], sim)
-        Wl = jnp.roll(Wp_, 1, axis=-1)
+        Wm, Wp_ = reconstruct.lr_states(W, Bxc, dtodx[a], sim, axis=2 - a)
+        Wl = _sh(Wp_, -1, a)
         Wr = Wm
 
         # MHD W source terms for dt/2 (:250-312): By += hdt*V[a1]*l_{a1},
         # Bz += hdt*V[a2]*l_{a2}, with l_c sign-gated minmod of (db_a, -db_c)
         l1 = _l_clamped(db[a], db[a1])
         l2 = _l_clamped(db[a], db[a2])
-        srcBy = mv(V[a1] * l1) * hdt
-        srcBz = mv(V[a2] * l2) * hdt
-        Wl = Wl.at[ib].add(jnp.roll(srcBy, 1, axis=-1))
-        Wl = Wl.at[ib + 1].add(jnp.roll(srcBz, 1, axis=-1))
+        srcBy = V[a1] * l1 * hdt
+        srcBz = V[a2] * l2 * hdt
+        Wl = Wl.at[ib].add(_shf(srcBy, -1, a))
+        Wl = Wl.at[ib + 1].add(_shf(srcBz, -1, a))
         Wr = Wr.at[ib].add(srcBy)
         Wr = Wr.at[ib + 1].add(srcBz)
 
         # static gravity dt/2 (:318-342)
         if phic is not None:
-            pc = mv(phic)
-            pf = mv(phif[a])
-            Wl = Wl.at[1].add(-dtodx[a] * (pf - jnp.roll(pc, 1, axis=-1)))
-            Wr = Wr.at[1].add(-dtodx[a] * (pc - pf))
+            Wl = Wl.at[1].add(-dtodx[a] * (phif[a] - _shf(phic, -1, a)))
+            Wr = Wr.at[1].add(-dtodx[a] * (phic - phif[a]))
 
-        Bxi = mv(Bi[a])  # face field at interface f = t^n B_ai (:217-218)
+        Bxi = Bi[a]  # face field at interface f = t^n B_ai (:217-218)
         Ul = prim1d_to_cons1d(Wl, Bxi, sim)
         Ur = prim1d_to_cons1d(Wr, Bxi, sim)
         F = riemann.fluxes(Ul, Ur, Wl, Wr, Bxi, sim)
@@ -120,11 +117,10 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
         Ulh, bl = split(Ul)
         Urh, br = split(Ur)
         Fh, fb = split(F)
-        mvb = lambda f: jnp.moveaxis(f, -1, 3 - a)
-        Ulp[a] = permute_from_sweep(Ulh, a, sim)
-        Urp[a] = permute_from_sweep(Urh, a, sim)
-        Fp[a] = permute_from_sweep(Fh, a, sim)
-        Byzl[a], Byzr[a], FByz[a] = mvb(bl), mvb(br), mvb(fb)
+        Ulp[a] = vperm_from_sweep(Ulh, a, sim)
+        Urp[a] = vperm_from_sweep(Urh, a, sim)
+        Fp[a] = vperm_from_sweep(Fh, a, sim)
+        Byzl[a], Byzr[a], FByz[a] = bl, br, fb
 
     # === STEP 4: cell-centered EMFs at t^n + corner EMFs + half-dt CT =======
     emf_cc = _emf_cc(Bcc, U[IM1] / d, U[IM1 + 1] / d, U[IM1 + 2] / d)
@@ -224,23 +220,21 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
 
     Fp2, FByz2 = {}, {}
     for a in axes:
-        a1, a2 = (a + 1) % 3, (a + 2) % 3
         ib = 5 if sim.adiabatic else 4
-        mv = lambda f: jnp.moveaxis(f, 2 - a, -1)
-        Ulh = permute_to_sweep(Ulc[a], a, sim)
-        Urh = permute_to_sweep(Urc[a], a, sim)
-        Ul = jnp.concatenate([Ulh[:ib], mv(Byzlc[a][0])[None],
-                              mv(Byzlc[a][1])[None], Ulh[ib:]], 0)
-        Ur = jnp.concatenate([Urh[:ib], mv(Byzrc[a][0])[None],
-                              mv(Byzrc[a][1])[None], Urh[ib:]], 0)
-        Bxi = mv(Bf[a])
+        Ulh = vperm_to_sweep(Ulc[a], a, sim)
+        Urh = vperm_to_sweep(Urc[a], a, sim)
+        Ul = jnp.concatenate([Ulh[:ib], Byzlc[a][0][None],
+                              Byzlc[a][1][None], Ulh[ib:]], 0)
+        Ur = jnp.concatenate([Urh[:ib], Byzrc[a][0][None],
+                              Byzrc[a][1][None], Urh[ib:]], 0)
+        Bxi = Bf[a]
         Wl = cons1d_to_prim1d(Ul, Bxi, sim)
         Wr = cons1d_to_prim1d(Ur, Bxi, sim)
-        etah = mv(etah_all[a]) if etah_all is not None else None
+        etah = etah_all[a] if etah_all is not None else None
         F = riemann.fluxes(Ul, Ur, Wl, Wr, Bxi, sim, etah=etah)
         hyd = jnp.concatenate([F[:ib], F[ib + 2:]], 0)
-        Fp2[a] = permute_from_sweep(hyd, a, sim)
-        FByz2[a] = jnp.moveaxis(F[ib:ib + 2], -1, 3 - a)
+        Fp2[a] = vperm_from_sweep(hyd, a, sim)
+        FByz2[a] = F[ib:ib + 2]
 
     _dbg(Fp2=Fp2, FByz2=FByz2, emf_cc_h=emf_cc_h, Bf=Bf, dhalf=dhalf,
          Mh=Mh, Bch=Bch, emf_n=emf, Fp=Fp, FByz=FByz,
@@ -350,21 +344,19 @@ def _hcorr_etas(Ulc, Urc, Byzlc, Byzrc, Bf, axes, sim):
     etas = {}
     for a in axes:
         ib = 5 if sim.adiabatic else 4
-        mv = lambda f: jnp.moveaxis(f, 2 - a, -1)
 
         def pack(Uh, byz):
-            Us = permute_to_sweep(Uh, a, sim)
-            return jnp.concatenate([Us[:ib], mv(byz[0])[None],
-                                    mv(byz[1])[None], Us[ib:]], 0)
+            Us = vperm_to_sweep(Uh, a, sim)
+            return jnp.concatenate([Us[:ib], byz[0][None],
+                                    byz[1][None], Us[ib:]], 0)
         Ul = pack(Ulc[a], Byzlc[a])
         Ur = pack(Urc[a], Byzrc[a])
-        Bxi = mv(Bf[a])
+        Bxi = Bf[a]
         cfl = cfast1d(Ul, Bxi, sim)
         cfr = cfast1d(Ur, Bxi, sim)
         lam_r = Ur[1] / Ur[0] + cfr
         lam_l = Ul[1] / Ul[0] - cfl
-        eta = 0.5 * jnp.abs(lam_r - lam_l)
-        etas[a] = jnp.moveaxis(eta, -1, 2 - a)
+        etas[a] = 0.5 * jnp.abs(lam_r - lam_l)
 
     out = {}
     for a in axes:

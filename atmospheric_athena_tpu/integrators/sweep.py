@@ -47,6 +47,19 @@ def inv_perm(perm):
     return out
 
 
+def vperm_to_sweep(X, axis: int, sim: SimConfig):
+    """Variable permutation ONLY (no spatial transpose): physical-order
+    stacked [ncons, Nz, Ny, Nx] -> sweep variable order, axes untouched.
+    Consumers then shift along the sweep axis directly — the arithmetic is
+    axis-agnostic, so this avoids materializing per-sweep transposes."""
+    return X[var_perm(axis, sim), ...]
+
+
+def vperm_from_sweep(X, axis: int, sim: SimConfig):
+    """Inverse of vperm_to_sweep."""
+    return X[inv_perm(var_perm(axis, sim)), ...]
+
+
 def permute_to_sweep(X, axis: int, sim: SimConfig):
     """Physical-order stacked array [ncons, Nz, Ny, Nx] -> sweep order with
     the sweep axis last.  (No B components — hydro/cc fields only.)"""

@@ -28,7 +28,7 @@ from ..ops import reconstruct, riemann
 from ..state import State
 from .ctu3d import _phi_arrays, _sh, _shf
 from .ctu3d_mhd import _corner_emf, _emf_cc
-from .sweep import permute_from_sweep, permute_to_sweep
+from .sweep import vperm_from_sweep, vperm_to_sweep
 
 #: debug capture (testing only)
 DEBUG = None
@@ -40,26 +40,25 @@ def _dbg(**kw):
 
 
 def _sweep_pack(U, Bcc, a, sim):
-    """Stacked 1D-slice array for axis a, MHD-aware."""
-    U1d = permute_to_sweep(U, a, sim)
+    """Stacked 1D-slice array for axis a, MHD-aware (variable permutation
+    only — spatial axes untouched)."""
+    U1d = vperm_to_sweep(U, a, sim)
     if not sim.mhd:
         return U1d, None
-    mv = lambda f: jnp.moveaxis(f, 2 - a, -1)
     ib = 5 if sim.adiabatic else 4
     a1, a2 = (a + 1) % 3, (a + 2) % 3
-    U1d = jnp.concatenate([U1d[:ib], mv(Bcc[a1])[None], mv(Bcc[a2])[None],
+    U1d = jnp.concatenate([U1d[:ib], Bcc[a1][None], Bcc[a2][None],
                            U1d[ib:]], 0)
-    return U1d, mv(Bcc[a])
+    return U1d, Bcc[a]
 
 
 def _sweep_unpack_flux(F, a, sim):
     """(physical hydro flux, sweep (By,Bz) flux or None)."""
     if not sim.mhd:
-        return permute_from_sweep(F, a, sim), None
+        return vperm_from_sweep(F, a, sim), None
     ib = 5 if sim.adiabatic else 4
     hyd = jnp.concatenate([F[:ib], F[ib + 2:]], 0)
-    return permute_from_sweep(hyd, a, sim), jnp.moveaxis(F[ib:ib + 2],
-                                                         -1, 3 - a)
+    return vperm_from_sweep(hyd, a, sim), F[ib:ib + 2]
 
 
 def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
@@ -78,12 +77,12 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
     for a in axes:
         U1d, Bxc = _sweep_pack(U, Bcc, a, sim)
         W = cons1d_to_prim1d(U1d, Bxc, sim)
-        Wl = jnp.roll(W, 1, axis=-1)
+        Wl = _sh(W, -1, a)
         Wr = W
-        Bxl = jnp.roll(Bxc, 1, axis=-1) if sim.mhd else None
+        Bxl = _shf(Bxc, -1, a) if sim.mhd else None
         Ul = prim1d_to_cons1d(Wl, Bxl, sim)
         Ur = prim1d_to_cons1d(Wr, Bxc, sim)
-        Bxi = jnp.moveaxis(Bi[a], 2 - a, -1) if sim.mhd else None
+        Bxi = Bi[a] if sim.mhd else None
         F = riemann.fluxes(Ul, Ur, Wl, Wr, Bxi, sim)
         Fp[a], FByz[a] = _sweep_unpack_flux(F, a, sim)
 
@@ -126,10 +125,10 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
     for a in axes:
         U1d, Bxc = _sweep_pack(Uhalf, Bcch, a, sim)
         W = cons1d_to_prim1d(U1d, Bxc, sim)
-        Wm, Wp_ = reconstruct.lr_states(W, Bxc, dtodx[a], sim)
-        Wl = jnp.roll(Wp_, 1, axis=-1)
+        Wm, Wp_ = reconstruct.lr_states(W, Bxc, dtodx[a], sim, axis=2 - a)
+        Wl = _sh(Wp_, -1, a)
         Wr = Wm
-        Bxi = jnp.moveaxis(Bf[a], 2 - a, -1) if sim.mhd else None
+        Bxi = Bf[a] if sim.mhd else None
         Ul = prim1d_to_cons1d(Wl, Bxi, sim)
         Ur = prim1d_to_cons1d(Wr, Bxi, sim)
         F = riemann.fluxes(Ul, Ur, Wl, Wr, Bxi, sim)

@@ -30,9 +30,13 @@ from . import eigen
 HLL_FLUXES = ("hlle", "hllc", "hlld")
 
 
+_AXIS = -1  # sweep axis for neighbor shifts (set per lr_states call)
+
+
 def _sh(q, k):
-    """_sh(q, k)[..., i] == q[..., i+k] (wraps; wrapped cells are invalid)."""
-    return jnp.roll(q, -k, axis=-1)
+    """_sh(q, k)[..., i] == q[..., i+k] along the sweep axis (wraps; wrapped
+    cells are invalid)."""
+    return jnp.roll(q, -k, axis=_AXIS)
 
 
 def dc(W, Bx, dtodx, sim: SimConfig):
@@ -313,8 +317,16 @@ def ppm(W, Bx, dtodx, sim: SimConfig, characteristic=True):
     return jnp.stack(Wminus), jnp.stack(Wplus)
 
 
-def lr_states(W, Bx, dtodx, sim: SimConfig):
-    """Dispatch on sim.order (reconstruction/prototypes.h:40-46)."""
+def lr_states(W, Bx, dtodx, sim: SimConfig, axis: int = -1):
+    """Dispatch on sim.order (reconstruction/prototypes.h:40-46).
+
+    `axis` is the sweep axis within W's trailing dims; passing it avoids
+    transposing the whole grid per sweep (the only axis-dependent op in
+    reconstruction is the neighbor shift — everything else is elementwise,
+    so XLA sees identical arithmetic with zero data movement).
+    """
+    global _AXIS
+    _AXIS = axis
     if sim.order == "1":
         return dc(W, Bx, dtodx, sim)
     if sim.order == "2":

@@ -60,7 +60,7 @@ def test_blast2d_matches_reference():
     gold = np.load(os.path.join(GOLD, "blast2d_64x96_t0.05.npz"))
     U = np.asarray(s.state.U)[(slice(None),) + s.grid.interior()][:, 0]
     for name, k in [("d", 0), ("M1", 1), ("M2", 2), ("E", 4)]:
-        np.testing.assert_allclose(U[k], gold[name], rtol=0, atol=1e-11)
+        np.testing.assert_allclose(U[k], gold[name], rtol=0, atol=1e-9)
 
 
 @pytest.mark.slow
