@@ -386,7 +386,111 @@ def hlld(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
     return jnp.stack(F)
 
 
-SOLVERS = {"roe": roe, "hlle": hlle, "hllc": hllc, "hlld": hlld}
+def force(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+    """FORCE flux: average of Lax-Wendroff (via the HLL mean state) and
+    HLLE (force.c:62-300).  Faithful quirk: the LW energy flux's magnetic
+    term uses pbl — the left state's magnetic pressure (force.c:273)."""
+    avg = _roe_averages(Ul, Ur, Wl, Wr, Bxi, sim)
+    ev, _, _ = _esys_roe(avg, Bxi, sim, vectors=False)
+
+    def cf_side(U, W):
+        if sim.adiabatic:
+            asq = sim.gamma * W[4] / W[0]
+        else:
+            asq = sim.iso_csound2
+        if not sim.mhd:
+            return jnp.sqrt(asq * jnp.ones_like(W[0]))
+        ib = 5 if sim.adiabatic else 4
+        vaxsq = Bxi * Bxi / W[0]
+        ct2 = (U[ib] ** 2 + U[ib + 1] ** 2) / W[0]
+        qsq = vaxsq + ct2 + asq
+        tmp = vaxsq + ct2 - asq
+        return jnp.sqrt(0.5 * (qsq + jnp.sqrt(tmp * tmp + 4 * asq * ct2)))
+
+    ar = jnp.maximum(ev[sim.nwave - 1], Wr[1] + cf_side(Ur, Wr))
+    al = jnp.minimum(ev[0], Wl[1] - cf_side(Ul, Wl))
+    bp = jnp.maximum(ar, 0.0)
+    bm = jnp.minimum(al, 0.0)
+
+    Fl, Fr = _lr_fluxes(Ul, Ur, Wl, Wr, Bxi, avg["pbl"], avg["pbr"], sim,
+                        bm=bm, bp=bp)
+    nv = sim.nwave + sim.nscalars
+
+    # HLL mean state -> LW flux along dx/dt=0 (force.c:239-285)
+    safe = jnp.where(ar == al, 1.0, ar - al)
+    Uc = jnp.stack([(Fl[n] - Fr[n]) / safe for n in range(nv)])
+    Wc = cons1d_to_prim1d_lazy(Uc, Bxi, sim)
+    Fc = _phys_flux(Uc, Wc, Bxi, avg["pbl"], sim)
+
+    tmp = 0.25 * (bp + bm) / (bp - bm)
+    F = [0.5 * Fc[n] + 0.25 * (Fl[n] + Fr[n]) + (Fl[n] - Fr[n]) * tmp
+         for n in range(nv)]
+    # supersonic short-circuit (force.c:228-236)
+    F = [jnp.where(al >= 0.0, fl, jnp.where(ar <= 0.0, fr, f))
+         for f, fl, fr in zip(F, Fl, Fr)]
+    return jnp.stack(F)
+
+
+def cons1d_to_prim1d_lazy(U, Bx, sim):
+    from ..eos import cons1d_to_prim1d
+    return cons1d_to_prim1d(U, Bx, sim)
+
+
+def _phys_flux(U, W, Bxi, pb_e, sim):
+    """Plain physical flux F(U) (force.c:253-285); pb_e is the magnetic
+    pressure used in the energy flux (the reference passes pbl)."""
+    F = [U[1], U[1] * W[1], U[2] * W[1], U[3] * W[1]]
+    if sim.adiabatic:
+        F[1] = F[1] + W[4]
+        F.append(U[4] * W[1] + W[4] * W[1])
+    else:
+        F[1] = F[1] + W[0] * sim.iso_csound2
+    if sim.mhd:
+        ib = 5 if sim.adiabatic else 4
+        F[1] = F[1] - 0.5 * (Bxi ** 2 - W[ib] ** 2 - W[ib + 1] ** 2)
+        F[2] = F[2] - Bxi * W[ib]
+        F[3] = F[3] - Bxi * W[ib + 1]
+        if sim.adiabatic:
+            F[4] = F[4] + (pb_e * W[1] - Bxi * (
+                Bxi * W[1] + W[ib] * W[2] + W[ib + 1] * W[3]))
+        F.append(W[ib] * W[1] - Bxi * W[2])
+        F.append(W[ib + 1] * W[1] - Bxi * W[3])
+    nw = sim.nwave
+    for n in range(sim.nscalars):
+        F.append(F[0] * W[nw + n])
+    return F
+
+
+def two_shock(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+    """Two-shock approximate solver, isothermal hydro only
+    (two_shock.c:53-129)."""
+    assert sim.eos == "isothermal" and not sim.mhd and sim.nscalars == 0, \
+        "two-shock is isothermal hydro only (two_shock.c:29-39)"
+    cs = sim.iso_csound
+    zl = jnp.sqrt(Wl[0])
+    zr = jnp.sqrt(Wr[0])
+    tmp = zl * zr * (Wl[1] - Wr[1]) / (2.0 * cs * (zl + zr))
+    zc = tmp + jnp.sqrt(tmp * tmp + zl * zr)
+    Vxc = (Wl[1] * zl + Wr[1] * zr) / (zl + zr) + cs * (zl - zr) / zc
+    sl = Wl[1] - cs * zc / zl
+    sr = Wr[1] + cs * zc / zr
+
+    dc = zc * zc
+    Fm = [dc * Vxc,
+          dc * Vxc * Vxc + dc * sim.iso_csound2,
+          dc * Vxc * jnp.where(Vxc >= 0.0, Wl[2], Wr[2]),
+          dc * Vxc * jnp.where(Vxc >= 0.0, Wl[3], Wr[3])]
+    Fls = [Ul[1], Ul[1] * Wl[1] + Wl[0] * sim.iso_csound2,
+           Ul[2] * Wl[1], Ul[3] * Wl[1]]
+    Frs = [Ur[1], Ur[1] * Wr[1] + Wr[0] * sim.iso_csound2,
+           Ur[2] * Wr[1], Ur[3] * Wr[1]]
+    F = [jnp.where(sr <= 0.0, fr, jnp.where(sl >= 0.0, fl, fm))
+         for fm, fl, fr in zip(Fm, Fls, Frs)]
+    return jnp.stack(F)
+
+
+SOLVERS = {"roe": roe, "hlle": hlle, "hllc": hllc, "hlld": hlld,
+           "force": force, "two-shock": two_shock, "two_shock": two_shock}
 
 
 def fluxes(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
