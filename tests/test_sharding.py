@@ -1,0 +1,110 @@
+"""Sharded-vs-unsharded equivalence on a virtual 8-device CPU mesh.
+
+The reference's correctness criterion for MPI runs is that results match
+the serial run (SURVEY.md §4); here the same criterion applies to the
+GSPMD-sharded step: jitting the identical step function with the state
+sharded over a ('z','y','x') mesh must reproduce the single-device result
+(XLA inserts the halo collective-permutes and reduction collectives that
+replace the reference's MPI_Irecv/Isend and MPI_Allreduce).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atmospheric_athena_tpu import ParameterDB, Simulation
+from atmospheric_athena_tpu.parallel.mesh import (factor3, make_mesh,
+                                                  shard_state,
+                                                  state_shardings)
+
+BLAST3D_DECK = """
+<comment>
+config  = --with-gas=hydro --with-problem=blast
+<job>
+problem_id = Blast
+<time>
+cour_no = 0.4
+nlim    = 3
+tlim    = 0.05
+<domain1>
+Nx1 = 16
+x1min = -0.5
+x1max = 0.5
+bc_ix1 = 4
+bc_ox1 = 4
+Nx2 = 16
+x2min = -0.5
+x2max = 0.5
+bc_ix2 = 4
+bc_ox2 = 4
+Nx3 = 16
+x3min = -0.5
+x3max = 0.5
+bc_ix3 = 4
+bc_ox3 = 4
+<problem>
+gamma  = 1.66666666666667
+pamb   = 0.1
+prat   = 100.0
+radius = 0.25
+"""
+
+
+def test_factor3():
+    assert factor3(8) == (2, 2, 2)
+    assert factor3(4) in ((1, 2, 2), (2, 2, 1))
+    assert factor3(1) == (1, 1, 1)
+
+
+@pytest.mark.slow
+def test_sharded_step_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest forces 8 virtual CPU devices"
+    par = ParameterDB.from_string(BLAST3D_DECK)
+    s = Simulation.from_par(par)
+    fn = s._build_step().__wrapped__
+
+    # single device
+    out1 = jax.jit(fn)(s.state)
+
+    # 8-device mesh
+    mesh = make_mesh(8)
+    sh = state_shardings(mesh, s.sim)
+    stS = shard_state(s.state, mesh, s.sim)
+    out8 = jax.jit(fn, in_shardings=(sh,), out_shardings=sh)(stS)
+
+    np.testing.assert_allclose(np.asarray(out8.U), np.asarray(out1.U),
+                               rtol=0, atol=1e-13)
+    assert float(out8.dt) == pytest.approx(float(out1.dt), rel=1e-14)
+
+
+@pytest.mark.slow
+def test_sharded_ioniz_sphere_step():
+    """Full production step (radiation sub-cycle incl. the cumprod scan and
+    global reductions + hydro + gravity) sharded over 8 devices."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _ISPH_DECK
+    par = ParameterDB.from_string(_ISPH_DECK.format(n=16))
+    s = Simulation.from_par(par, problem="ioniz_sphere", dtype="float64")
+    fn = s._build_step().__wrapped__
+
+    out1 = jax.jit(fn)(s.state)
+
+    mesh = make_mesh(8)
+    sh = state_shardings(mesh, s.sim)
+    stS = shard_state(s.state, mesh, s.sim)
+    out8 = jax.jit(fn, in_shardings=(sh,), out_shardings=sh)(stS)
+
+    # sharded reductions reassociate sums -> tiny drift relative to each
+    # field's scale is expected (momenta start near zero)
+    U1 = np.asarray(out1.U)
+    U8 = np.asarray(out8.U)
+    for k in range(U1.shape[0]):
+        scale = np.abs(U1[k]).max() or 1.0
+        np.testing.assert_allclose(U8[k], U1[k], rtol=0,
+                                   atol=1e-11 * scale)
+    assert float(out8.dt) == pytest.approx(float(out1.dt), rel=1e-12)
+    E1 = np.asarray(out1.Eflux)
+    np.testing.assert_allclose(np.asarray(out8.Eflux), E1, rtol=0,
+                               atol=1e-11 * np.abs(E1).max())
