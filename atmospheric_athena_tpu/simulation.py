@@ -129,9 +129,12 @@ class Simulation:
         elif ndim == 1:
             from .integrators import ctu1d as integ
         elif sim.mhd:
-            if ndim != 3:
-                raise NotImplementedError("2D MHD CTU pending")
-            from .integrators import ctu3d_mhd as integ
+            if ndim == 3:
+                from .integrators import ctu3d_mhd as integ
+            elif ndim == 2:
+                from .integrators import ctu2d_mhd as integ
+            else:
+                raise NotImplementedError
         else:
             from .integrators import ctu3d as integ  # handles 2D and 3D
 

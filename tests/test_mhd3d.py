@@ -73,3 +73,25 @@ def test_blast3d_mhd_two_steps():
         r = ref[:, c].reshape(Nz, Ny, Nx)
         np.testing.assert_allclose(q, r, rtol=0, atol=1e-4)
     assert divb_max(s) < 1e-12
+
+
+DECK2D = "/root/repo/.refbuild/run/blast2dmhd/deck1"
+GOLD2D = "/root/repo/.refbuild/run/blast2dmhd/Blast_B1.0001.tab"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not __import__("os").path.exists(GOLD2D),
+                    reason="reference build outputs not present")
+def test_blast2d_mhd_one_step_eager_bitexact():
+    """2D CTU+CT (emf3 corners, B3 flux differencing) matches the reference
+    bit-for-bit on a single asymmetric MHD blast step."""
+    from atmospheric_athena_tpu.integrators import ctu2d_mhd
+    s = Simulation.from_file(DECK2D, gas="mhd")
+    st = ctu2d_mhd.step(s.state, s.state.dt, s.sim, s.grid, s.problem)
+    ref = np.loadtxt(GOLD2D)
+    Nx, Ny = 64, 96
+    U = np.asarray(st.U)[(slice(None),) + s.grid.interior()][:, 0]
+    B = np.asarray(st.Bcc)[(slice(None),) + s.grid.interior()][:, 0]
+    for q, c in [(U[0], 4), (U[4], 8), (B[0], 9), (B[1], 10), (B[2], 11)]:
+        r = ref[:, c].reshape(Ny, Nx)
+        np.testing.assert_array_equal(q, r)
