@@ -95,3 +95,22 @@ def test_blast2d_mhd_one_step_eager_bitexact():
     for q, c in [(U[0], 4), (U[4], 8), (B[0], 9), (B[1], 10), (B[2], 11)]:
         r = ref[:, c].reshape(Ny, Nx)
         np.testing.assert_array_equal(q, r)
+
+
+@pytest.mark.slow
+def test_orszag_tang_matches_reference():
+    """2D MHD Orszag-Tang vortex: 10 jitted cycles match the reference to
+    ~1e-14 (generic fields — no tie-degenerate upwind branches)."""
+    import os
+    deck = os.path.join(os.path.dirname(__file__), "golden", "athinput.ot64")
+    s = Simulation.from_file(deck, problem="orszag-tang")
+    s.run(max_steps=10)
+    gold = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                "orszag_tang_64_10cycles.npz"))["data"]
+    N = 64
+    U = np.asarray(s.state.U)[(slice(None),) + s.grid.interior()][:, 0]
+    B = np.asarray(s.state.Bcc)[(slice(None),) + s.grid.interior()][:, 0]
+    for q, c in [(U[0], 4), (U[1], 5), (U[2], 6), (U[4], 8),
+                 (B[0], 9), (B[1], 10)]:
+        np.testing.assert_allclose(q, gold[:, c].reshape(N, N), rtol=0,
+                                   atol=1e-12)
