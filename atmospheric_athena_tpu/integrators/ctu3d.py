@@ -85,8 +85,16 @@ def _cfast_cons(Uc, axis, sim: SimConfig, Bx=None):
     return jnp.sqrt(sim.iso_csound2) * jnp.ones_like(d)
 
 
-def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
-    """One CTU step over all active axes (2 or 3 of them)."""
+def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
+         phi_sg=None, selfg_pars=None):
+    """One CTU step over all active axes (2 or 3 of them).
+
+    phi_sg: self-gravity potential (padded array) solved from rho at t^n;
+    selfg_pars = (four_pi_G, grav_mean_rho).  Source terms follow the
+    SELF_GRAVITY blocks of integrate_3d_ctu.c (:348-353, 1225-1273,
+    2195-2207, 2790-2936), with the gravitational stress-tensor momentum
+    fluxes at full dt.  The selfg_fc old/new-Phi correction is pending.
+    """
     assert sim.gas == "hydro", "MHD CTU lives in ctu3d_mhd (pending)"
     axes = [a for a in range(3) if grid.active(a)]
     dtodx = {a: dt / grid.dx[a] for a in axes}
@@ -112,6 +120,13 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
             dVr = dtodx[a] * (phic - phif[a])
             Wl = Wl.at[1].add(-dVl)
             Wr = Wr.at[1].add(-dVr)
+
+        # Step 1c cont: self-gravity for dt/2 — same kick on both states
+        # (integrate_3d_ctu.c:348-353)
+        if phi_sg is not None:
+            dphi = q[a] * (phi_sg - _shf(phi_sg, -1, a))
+            Wl = Wl.at[1].add(-dphi)
+            Wr = Wr.at[1].add(-dphi)
 
         Ul = prim1d_to_cons1d(Wl, None, sim)
         Ur = prim1d_to_cons1d(Wr, None, sim)
@@ -153,9 +168,25 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
                     Urc[a] = Urc[a].at[IEN].add(-dE)
                     Ulc[a] = Ulc[a].at[IEN].add(-_shf(dE, -1, a))
 
+        # self-gravity cross terms (:1225-1273): phir/phil = Phi averages
+        if phi_sg is not None:
+            for b in axes:
+                if b == a:
+                    continue
+                phirS = 0.5 * (phi_sg + _shf(phi_sg, 1, b))
+                philS = 0.5 * (phi_sg + _shf(phi_sg, -1, b))
+                dMb = q[b] * (phirS - philS) * U[ID]
+                dE = q[b] * (Fp[b][ID] * (phi_sg - philS) +
+                             _shf(Fp[b][ID], 1, b) * (phirS - phi_sg))
+                Urc[a] = Urc[a].at[IM1 + b].add(-dMb)
+                Ulc[a] = Ulc[a].at[IM1 + b].add(-_shf(dMb, -1, a))
+                if sim.adiabatic:
+                    Urc[a] = Urc[a].at[IEN].add(-dE)
+                    Ulc[a] = Ulc[a].at[IEN].add(-_shf(dE, -1, a))
+
     # === STEP 8: cell-centered n+1/2 states (needed with gravity) ===========
     dhalf = None
-    if phic is not None:
+    if phic is not None or phi_sg is not None:
         dhalf = U[ID]
         for a in axes:
             dhalf = dhalf - q[a] * dF[a][ID]
@@ -202,6 +233,47 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
                 dE = dtodx[a] * (Fp2[a][ID] * (phic - phil) +
                                  _shf(Fp2[a][ID], 1, a) *
                                  (phir - phic))
+                Unew = Unew.at[IEN].add(-dE)
+
+    # Step 11b: self-gravity stress-tensor momentum fluxes + mass-flux-
+    # weighted energy source (integrate_3d_ctu.c:2790-2936)
+    if phi_sg is not None:
+        four_pi_G, grav_mean_rho = selfg_pars
+        grad = {}
+        for b in axes:
+            # g_b at the LEFT b-face of each cell: (Phi[-1_b]-Phi)/dx_b
+            grad[b] = (_shf(phi_sg, -1, b) - phi_sg) / grid.dx[b]
+        for a in axes:
+            phil = 0.5 * (_shf(phi_sg, -1, a) + phi_sg)
+            phir = 0.5 * (phi_sg + _shf(phi_sg, 1, a))
+            gl = {}
+            gr = {}
+            gl[a] = grad[a]
+            gr[a] = _shf(grad[a], 1, a)
+            for b in axes:
+                if b == a:
+                    continue
+                # transverse gradient at the a-face: average of the
+                # centered d/dx_b differences of the two adjacent cells
+                cen = 0.5 * (_shf(phi_sg, -1, b) - _shf(phi_sg, 1, b))                     / grid.dx[b]
+                gl[b] = 0.5 * (_shf(cen, -1, a) + cen)
+                gr[b] = 0.5 * (cen + _shf(cen, 1, a))
+            others = [b for b in axes if b != a]
+            gsq_l = gl[a] ** 2
+            gsq_r = gr[a] ** 2
+            for b in others:
+                gsq_l = gsq_l - gl[b] ** 2
+                gsq_r = gsq_r - gr[b] ** 2
+            flx_al = 0.5 * gsq_l / four_pi_G + grav_mean_rho * phil
+            flx_ar = 0.5 * gsq_r / four_pi_G + grav_mean_rho * phir
+            Unew = Unew.at[IM1 + a].add(-dtodx[a] * (flx_ar - flx_al))
+            for b in others:
+                fl = gl[a] * gl[b] / four_pi_G
+                fr = gr[a] * gr[b] / four_pi_G
+                Unew = Unew.at[IM1 + b].add(-dtodx[a] * (fr - fl))
+            if sim.adiabatic:
+                dE = dtodx[a] * (Fp2[a][ID] * (phi_sg - phil) +
+                                 _shf(Fp2[a][ID], 1, a) * (phir - phi_sg))
                 Unew = Unew.at[IEN].add(-dE)
 
     # === STEP 12: conservative update =======================================

@@ -26,8 +26,8 @@ def register(name):
     return deco
 
 
-_BUILTIN = ("shkset1d", "linear_wave", "blast", "ifront", "ioniz_sphere",
-            "shkset2d", "shkset3d", "kh", "rt", "orszag_tang", "cpaw",
+_BUILTIN = ("shkset1d", "linear_wave", "blast", "ifront", "ioniz_sphere", "jeans",
+            "shkset2d", "shkset3d", "kh", "rt", "orszag_tang", "cpaw", "jeans",
             "field_loop")
 
 

@@ -140,6 +140,12 @@ class Simulation:
 
         userwork = getattr(problem, "userwork_in_loop", None)
 
+        selfg_pars = None
+        if sim.self_gravity:
+            from .gravity.selfg import phi_padded
+            selfg_pars = (self.par.getd_def("problem", "four_pi_G", 1.0),
+                          self.par.getd_def("problem", "grav_mean_rho", 0.0))
+
         ion = None
         if sim.ion_radplane:
             from .ionrad.config import ion_config_from_par
@@ -164,7 +170,14 @@ class Simulation:
                                             state.time, cour_no)
                 state = bvals.apply_bc(state, grid, sim, problem)
 
-            state = integ.step(state, dt, sim, grid, problem)
+            if selfg_pars is not None:
+                # Phi from rho at t^n (the reference solves at the end of
+                # the previous cycle, main.c:603-613 — same potential)
+                phi_sg = phi_padded(state, sim, grid, *selfg_pars)
+                state = integ.step(state, dt, sim, grid, problem,
+                                   phi_sg=phi_sg, selfg_pars=selfg_pars)
+            else:
+                state = integ.step(state, dt, sim, grid, problem)
 
             if userwork is not None:
                 state = userwork(state, sim, grid)

@@ -1,0 +1,99 @@
+"""Self-gravity tests: discrete Poisson identity + Jeans oscillation.
+
+No FFTW exists on this host, so the reference cannot be built with
+--with-gravity=fft for golden comparison; validation is analytic:
+  1. the FFT solver inverts the same discrete Laplacian the reference uses
+     (selfg_fft.c Green's function) — checked to roundoff;
+  2. a Jeans-stable wave (njeans<1) oscillates at the dispersion-relation
+     period, a Jeans-unstable one (njeans>1) grows.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atmospheric_athena_tpu import ParameterDB, Simulation
+from atmospheric_athena_tpu.config import GridConfig
+from atmospheric_athena_tpu.gravity.selfg import solve_phi_periodic
+
+JEANS_DECK = """
+<comment>
+problem = jeans
+<job>
+problem_id = Jeans
+<time>
+cour_no = 0.4
+nlim    = 10000
+tlim    = 1.0
+<domain1>
+Nx1 = 32
+x1min = 0.0
+x1max = 1.0
+bc_ix1 = 4
+bc_ox1 = 4
+Nx2 = 8
+x2min = 0.0
+x2max = 0.25
+bc_ix2 = 4
+bc_ox2 = 4
+Nx3 = 8
+x3min = 0.0
+x3max = 0.25
+bc_ix3 = 4
+bc_ox3 = 4
+<problem>
+gamma  = 1.66666666666667
+amp    = 1e-6
+njeans = {njeans}
+kdir   = 1
+"""
+
+
+def test_poisson_discrete_identity():
+    grid = GridConfig(Nx=(16, 12, 8), xmax=(1.0, 0.75, 0.5),)
+    rng = np.random.default_rng(0)
+    rho = rng.normal(size=(8, 12, 16))
+    rho -= rho.mean()
+    fpg = 2.7
+    phi = np.asarray(solve_phi_periodic(jnp.asarray(rho), grid, fpg, 0.0))
+    lap = np.zeros_like(phi)
+    for a in range(3):
+        dim = 2 - a
+        lap += (np.roll(phi, -1, dim) - 2 * phi + np.roll(phi, 1, dim)) \
+            / grid.dx[a] ** 2
+    np.testing.assert_allclose(lap, fpg * rho, rtol=0,
+                               atol=1e-10 * np.abs(fpg * rho).max())
+
+
+@pytest.mark.slow
+def test_jeans_stable_oscillation():
+    par = ParameterDB.from_string(JEANS_DECK.format(njeans=0.5))
+    s = Simulation.from_par(par, problem="jeans")
+    prob = s.problem
+    period = 2.0 * math.pi / prob.omega
+    # half a period: the density perturbation should flip sign (~ -initial)
+    par.set("time", "tlim", 0.5 * period)
+    s.tlim = 0.5 * period
+    d0_pert = np.asarray(s.state.U[0])[s.grid.interior()] - 1.0
+    s.run()
+    d_pert = np.asarray(s.state.U[0])[s.grid.interior()] - 1.0
+    corr = (d0_pert * d_pert).sum() / (d0_pert ** 2).sum()
+    assert corr < -0.8, f"stable Jeans wave did not flip (corr={corr})"
+
+
+@pytest.mark.slow
+def test_jeans_unstable_growth():
+    par = ParameterDB.from_string(JEANS_DECK.format(njeans=2.0))
+    s = Simulation.from_par(par, problem="jeans")
+    prob = s.problem
+    assert prob.omega2 < 0
+    tgrow = 1.0 / prob.omega
+    par.set("time", "tlim", 2.0 * tgrow)
+    s.tlim = 2.0 * tgrow
+    amp0 = np.abs(np.asarray(s.state.U[0])[s.grid.interior()] - 1.0).max()
+    s.run()
+    amp1 = np.abs(np.asarray(s.state.U[0])[s.grid.interior()] - 1.0).max()
+    # after 2 e-folding times the perturbation should have grown ~e^2
+    assert amp1 / amp0 > 3.0, (amp0, amp1)
