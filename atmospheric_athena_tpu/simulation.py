@@ -140,6 +140,16 @@ class Simulation:
 
         userwork = getattr(problem, "userwork_in_loop", None)
 
+        # microphysics coefficients (<problem> block, like the reference's
+        # problem-enrolled nu/kappa)
+        nu_iso = self.par.getd_def("problem", "nu_iso", 0.0)
+        kappa_iso = self.par.getd_def("problem", "kappa_iso", 0.0)
+        cooling_fn = getattr(problem, "cooling_fn", None)
+        has_diff = nu_iso > 0.0 or kappa_iso > 0.0 or cooling_fn is not None
+        if has_diff:
+            from .microphysics import diff_dt as diff_dt_fn, integrate_diff
+            dt_diff = diff_dt_fn(sim, grid, cour_no, nu_iso, kappa_iso)
+
         selfg_pars = None
         if sim.self_gravity:
             from .gravity.selfg import phi_padded
@@ -161,6 +171,14 @@ class Simulation:
             # (new_dt.c:183-185)
             dt = jnp.minimum(state.dt, jnp.maximum(tlim - state.time, 0.0)
                              ) if tlim > 0 else state.dt
+
+            # operator-split diffusion before radiation/hydro
+            # (main.c:530-539); dt clamped to the explicit-diffusion CFL
+            if has_diff:
+                dt = jnp.minimum(dt, dt_diff)
+                state = integrate_diff(state, dt, sim, grid, nu_iso,
+                                       kappa_iso, cooling_fn)
+                state = bvals.apply_bc(state, grid, sim, problem)
 
             # radiation BEFORE hydro — it may shrink dt (main.c:541-556;
             # ionrad_3d.c:983,1033); ghosts are then refreshed (main.c:552)
