@@ -69,3 +69,49 @@ def test_mhd_fast_wave_second_order():
     e64 = l1_sum(64, 0, "mhd", cf)
     rate = math.log2(e32 / e64)
     assert rate > 1.7, f"fast wave converges at {rate:.2f} order"
+
+
+CPAW_DECK = """
+<comment>
+problem = cpaw
+<job>
+problem_id = cpaw
+<time>
+cour_no = 0.4
+nlim    = 100000
+tlim    = {tlim}
+<domain1>
+Nx1 = {n}
+x1min = 0.0
+x1max = 1.0
+bc_ix1 = 4
+bc_ox1 = 4
+Nx2 = 1
+x2min = 0.0
+x2max = 1.0
+Nx3 = 1
+x3min = 0.0
+x3max = 1.0
+<problem>
+gamma  = 1.66666666666667
+b_par  = 1.0
+b_perp = 0.1
+pres   = 0.1
+v_par  = 0.0
+dir    = 1
+"""
+
+
+@pytest.mark.slow
+def test_cpaw_second_order():
+    """Circularly polarized Alfven wave: exact nonlinear solution; 2nd-order
+    convergence after one period (v_A = 1)."""
+    def err(n):
+        par = ParameterDB.from_string(CPAW_DECK.format(n=n, tlim=1.0))
+        s = Simulation.from_par(par, problem="cpaw")
+        s.run()
+        return s.problem.l1_error(s.state, s.sim, s.grid)
+    e32 = err(32)
+    e64 = err(64)
+    rate = math.log2(e32 / e64)
+    assert rate > 1.7, f"cpaw converges at {rate:.2f} order"
