@@ -489,8 +489,236 @@ def two_shock(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
     return jnp.stack(F)
 
 
+def _exact_adb(Ul, Ur, Wl, Wr, sim: SimConfig):
+    """Exact (Godunov/Toro) adiabatic-hydro solver (exact.c:337-711).
+
+    Center pressure by Newton-Raphson on the Toro pressure function with
+    the two-shock initial guess (exact.c:347-480); the per-interface
+    while-loop becomes a fixed-trip lax.fori_loop with a converged mask.
+    The wave-position early returns (exact.c:545-680) become a nested
+    jnp.where cascade in the same priority order."""
+    g = sim.gamma
+    g1 = g - 1.0
+    TOL = 1.0e-6
+    dl, vl, ul2, ul3, pl = Wl[0], Wl[1], Wl[2], Wl[3], Wl[4]
+    dr, vr, ur2, ur3, pr = Wr[0], Wr[1], Wr[2], Wr[3], Wr[4]
+    al = jnp.sqrt(g * pl / dl)
+    ar = jnp.sqrt(g * pr / dr)
+
+    def pfunc(d, p, a, pold):
+        raref = 2.0 * a / g1 * ((pold / p) ** (g1 / (2.0 * g)) - 1.0)
+        Ak = 2.0 / (d * (g + 1.0))
+        Bk = p * g1 / (g + 1.0)
+        shock = (pold - p) * jnp.sqrt(Ak / (pold + Bk))
+        return jnp.where(pold <= p, raref, shock)
+
+    def pfunc_deriv(d, p, a, pold):
+        raref = 1.0 / (a * d) * (pold / p) ** (-(g + 1.0) / (2.0 * g))
+        Ak = 2.0 / (d * (g + 1.0))
+        Bk = p * g1 / (g + 1.0)
+        shock = jnp.sqrt(Ak / (pold + Bk)) * (
+            1.0 - 0.5 * (pold - p) / (Bk + pold))
+        return jnp.where(pold <= p, raref, shock)
+
+    # two-shock initial guess (exact.c:347-371)
+    ppv = jnp.maximum(0.5 * (pl + pr)
+                      - 0.125 * (vr - vl) * (dl + dr) * (al + ar), 0.0)
+    gl = jnp.sqrt((2.0 / (dl * (g + 1.0))) / (g1 * pl / (g + 1.0) + ppv))
+    gr = jnp.sqrt((2.0 / (dr * (g + 1.0))) / (g1 * pr / (g + 1.0) + ppv))
+    p0 = (gl * pl + gr * pr - (vr - vl)) / (gr + gl)
+    p0 = jnp.where(p0 < 0.0, TOL, p0)
+
+    def newton(_, carry):
+        pold, done = carry
+        f = (pfunc(dl, pl, al, pold) + pfunc(dr, pr, ar, pold) + (vr - vl))
+        fd = pfunc_deriv(dl, pl, al, pold) + pfunc_deriv(dr, pr, ar, pold)
+        p = pold - f / fd
+        change = 2.0 * jnp.abs((p - pold) / (p + pold))
+        p = jnp.where(p < 0.0, TOL, p)
+        newp = jnp.where(done, pold, p)
+        return newp, done | (change <= TOL)
+
+    pc, _ = jax.lax.fori_loop(
+        0, 100, newton, (p0, jnp.zeros_like(p0, dtype=bool)))
+
+    Vxc = 0.5 * (vl + vr) + 0.5 * (pfunc(dr, pr, ar, pc)
+                                   - pfunc(dl, pl, al, pc))
+    gtmp = g1 / (g + 1.0)
+    dcl = jnp.where(pc > pl,
+                    dl * (pc / pl + gtmp) / (gtmp * pc / pl + 1.0),
+                    dl * (pc / pl) ** (1.0 / g))
+    dcr = jnp.where(pc > pr,
+                    dr * (pc / pr + gtmp) / (gtmp * pc / pr + 1.0),
+                    dr * (pc / pr) ** (1.0 / g))
+
+    def side_flux(d, vx, vy, vz, p):
+        E = d * (0.5 * (vx * vx + vy * vy + vz * vz)) + p / g1
+        return [d * vx, d * vx * vx + p, d * vx * vy, d * vx * vz,
+                vx * (E + p)]
+
+    # rarefaction-fan flux at x/t = 0 (exact.c:593-612, 661-680)
+    def fan_flux(d, a, vx, vy, vz, p, sgn):
+        t1 = 2.0 / (g + 1.0)
+        t2 = g1 / (a * (g + 1.0))
+        fac = t1 + sgn * t2 * vx
+        dc = d * fac ** (2.0 / g1)
+        vc = t1 * (sgn * a + vx * g1 / 2.0)
+        pcf = p * fac ** (2.0 * g / g1)
+        return side_flux(dc, vc, vy, vz, pcf)
+
+    FL = side_flux(dl, vl, ul2, ul3, pl)
+    FR = side_flux(dr, vr, ur2, ur3, pr)
+    FfanL = fan_flux(dl, al, vl, ul2, ul3, pl, +1.0)
+    FfanR = fan_flux(dr, ar, vr, ur2, ur3, pr, -1.0)
+    FmidL = side_flux(dcl, Vxc, ul2, ul3, pc)
+    FmidR = side_flux(dcr, Vxc, ur2, ur3, pc)
+
+    sl = vl - al * jnp.sqrt(pc * (g + 1.0) / (2.0 * g * pl)
+                            + g1 / (2.0 * g))
+    sr = vr + ar * jnp.sqrt(pc * (g + 1.0) / (2.0 * g * pr)
+                            + g1 / (2.0 * g))
+    alc = al * (pc / pl) ** (g1 / (2.0 * g))
+    arc = ar * (pc / pr) ** (g1 / (2.0 * g))
+    hdl, tll = vl - al, Vxc - alc
+    hdr, tlr = vr + ar, Vxc + arc
+
+    left_outer = jnp.where(pc > pl, sl >= 0.0, hdl >= 0.0)
+    left_fan = (pc <= pl) & (hdl < 0.0) & (tll >= 0.0)
+    right_outer = jnp.where(pc > pr, sr <= 0.0, hdr <= 0.0)
+    right_fan = (pc <= pr) & (hdr > 0.0) & (tlr <= 0.0)
+
+    F = [jnp.where(left_outer, fl,
+         jnp.where(left_fan, ffl,
+         jnp.where(right_outer, fr,
+         jnp.where(right_fan, ffr,
+         jnp.where(Vxc >= 0.0, fml, fmr)))))
+         for fl, ffl, fr, ffr, fml, fmr
+         in zip(FL, FfanL, FR, FfanR, FmidL, FmidR)]
+    return F
+
+
+def _exact_iso(Ul, Ur, Wl, Wr, sim: SimConfig):
+    """Exact isothermal-hydro solver (exact.c:68-334).  The Numerical
+    Recipes rtsafe() bracketed Newton (exact.c:284-334) becomes a
+    fixed-trip vectorized bisection/Newton hybrid."""
+    cs = sim.iso_csound
+    cs2 = sim.iso_csound2
+    dl, vl, ul2, ul3 = Wl[0], Wl[1], Wl[2], Wl[3]
+    dr, vr, ur2, ur3 = Wr[0], Wr[1], Wr[2], Wr[3]
+    zl = jnp.sqrt(dl)
+    zr = jnp.sqrt(dr)
+    dmin = jnp.minimum(dl, dr)
+    dmax = jnp.maximum(dl, dr)
+
+    # 1-shock + 2-shock candidate (exact.c:90-99)
+    tmp = zl * zr * (vl - vr) / (2.0 * cs * (zl + zr))
+    zm = tmp + jnp.sqrt(tmp * tmp + zl * zr)
+    dm_ss = zm * zm
+    vxm_ss = vl - cs * (dm_ss - dl) / (zm * zl)
+
+    # 1-raref + 2-raref candidate (exact.c:106-114)
+    dm_rr = zl * zr * jnp.exp((vl - vr) / (2.0 * cs))
+    vxm_rr = vl - cs * jnp.log(dm_rr / dl)
+
+    # mixed shock/raref root of srder (exact.c:266-273) via rtsafe
+    def srder(dm):
+        y = (vr - vl) + cs * (jnp.log(dm / dmax)
+                              + (dm - dmin) / jnp.sqrt(dm * dmin))
+        dydx = cs / dm * (1.0 + 0.5 * (dm + dmin) / jnp.sqrt(dm * dmin))
+        return y, dydx
+
+    f_lo, _ = srder(dmin)
+    f_hi, _ = srder(dmax)
+    bracketed = ~((f_lo > 0.0) & (f_hi > 0.0)) & ~((f_lo < 0.0) & (f_hi < 0.0))
+    xl0 = jnp.where(f_lo < 0.0, dmin, dmax)
+    xh0 = jnp.where(f_lo < 0.0, dmax, dmin)
+
+    def rt_body(_, carry):
+        xl, xh, rts = carry
+        f, df = srder(rts)
+        newton_step = rts - f / df
+        use_bisect = (((rts - xh) * df - f) * ((rts - xl) * df - f) > 0.0) \
+            | (jnp.abs(2.0 * f) > jnp.abs((xh - xl) * df))
+        nxt = jnp.where(use_bisect, xl + 0.5 * (xh - xl), newton_step)
+        nxl = jnp.where(f < 0.0, rts, xl)
+        nxh = jnp.where(f < 0.0, xh, rts)
+        return nxl, nxh, nxt
+
+    _, _, dm_mix = jax.lax.fori_loop(
+        0, 100, rt_body, (xl0, xh0, 0.5 * (dmin + dmax)))
+    dm_mix = jnp.where(bracketed, dm_mix, 0.0)
+    mix_ok = (dm_mix > dmin) & (dm_mix <= dmax)
+    vxm_mix = jnp.where(dl > dr,
+                        vl - cs * jnp.log(dm_mix / jnp.maximum(dl, 1e-300)),
+                        vr + cs * jnp.log(dm_mix / jnp.maximum(dr, 1e-300)))
+
+    both_shock = dm_ss >= dmax
+    need_mix = ~both_shock & (dm_rr > dmin)
+    use_mix = need_mix & mix_ok
+    dm = jnp.where(both_shock, dm_ss, jnp.where(use_mix, dm_mix, dm_rr))
+    vxm = jnp.where(both_shock, vxm_ss, jnp.where(use_mix, vxm_mix, vxm_rr))
+    # soln bit 1 = right raref, bit 2 = left raref (exact.c:90-153)
+    left_raref = ~both_shock & (~use_mix | (dl > dr))
+    right_raref = ~both_shock & (~use_mix | (dr >= dl))
+
+    def side_flux(d, vx, vy, vz):
+        return [d * vx, d * vx * vx + d * cs2, d * vx * vy, d * vx * vz]
+
+    FL = side_flux(dl, vl, ul2, ul3)
+    FR = side_flux(dr, vr, ur2, ur3)
+
+    # fan fluxes at x/t = 0 (exact.c:178-186, 222-230)
+    hdl = vl - cs
+    hdr = vr + cs
+    tll = vxm - cs
+    tlr = vxm + cs
+    dfl = dl * jnp.exp(hdl / cs)
+    mfl = dl * cs * jnp.exp(hdl / cs)
+    FfanL = [mfl, mfl * cs + dfl * cs2, mfl * ul2, mfl * ul3]
+    dfr = dm * jnp.exp(-tlr / cs)
+    mfr = -dm * cs * jnp.exp(-tlr / cs)
+    vfr = jnp.where(dfr == 0.0, 0.0, mfr / dfr)
+    FfanR = [mfr, mfr * vfr + dfr * cs2, mfr * ur2, mfr * ur3]
+
+    Fmid = [dm * vxm, dm * vxm * vxm + dm * cs2,
+            dm * vxm * jnp.where(vxm >= 0.0, ul2, ur2),
+            dm * vxm * jnp.where(vxm >= 0.0, ul3, ur3)]
+
+    sl = vl - cs * jnp.sqrt(dm) / zl
+    sr = vr + cs * jnp.sqrt(dm) / zr
+    left_outer = jnp.where(left_raref, hdl >= 0.0, sl >= 0.0)
+    left_fan = left_raref & (hdl < 0.0) & (tll >= 0.0)
+    right_outer = jnp.where(right_raref, hdr <= 0.0, sr <= 0.0)
+    right_fan = right_raref & (hdr > 0.0) & (tlr <= 0.0)
+
+    F = [jnp.where(left_outer, fl,
+         jnp.where(left_fan, ffl,
+         jnp.where(right_outer, fr,
+         jnp.where(right_fan, ffr, fm))))
+         for fl, ffl, fr, ffr, fm in zip(FL, FfanL, FR, FfanR, Fmid)]
+    return F
+
+
+def exact(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+    """Exact nonlinear Riemann solver, hydro only (exact.c:35-46 guards).
+
+    Passive scalars are upwinded on the density flux like the other
+    solvers (the reference's exact.c:43 simply #errors on NSCALARS>0 —
+    supporting them here is a strict extension)."""
+    assert not sim.mhd, "exact solver is hydro only (exact.c:38-40)"
+    if sim.adiabatic:
+        F = _exact_adb(Ul, Ur, Wl, Wr, sim)
+    else:
+        F = _exact_iso(Ul, Ur, Wl, Wr, sim)
+    nw = sim.nwave
+    for n in range(sim.nscalars):
+        F.append(F[0] * jnp.where(F[0] >= 0.0, Wl[nw + n], Wr[nw + n]))
+    return jnp.stack(F)
+
+
 SOLVERS = {"roe": roe, "hlle": hlle, "hllc": hllc, "hlld": hlld,
-           "force": force, "two-shock": two_shock, "two_shock": two_shock}
+           "force": force, "two-shock": two_shock, "two_shock": two_shock,
+           "exact": exact}
 
 
 def fluxes(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):

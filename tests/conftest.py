@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax may already be pre-imported at interpreter startup (sitecustomize)
+# with JAX_PLATFORMS=axon pointing at the real TPU tunnel — in that case
+# the os.environ assignment above is too late and every test op would run
+# over the tunnel (slow, and f64 transcendentals drop to f32 accuracy).
+# config.update works as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: first compile of the big CTU graphs is ~30s,
