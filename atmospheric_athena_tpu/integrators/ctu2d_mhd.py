@@ -186,6 +186,14 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
     emf3_cc_h = (B1ch * Mh[1] - B2ch * Mh[0]) / dhalf
 
     # === STEP 9: final fluxes ===============================================
+    # H-correction etas (integrate_2d_ctu.c:1219-1245; same 5-point stencil
+    # per axis as 3D — reuse the generic helper over the two active axes)
+    if sim.h_correction:
+        from .ctu3d_mhd import _hcorr_etas
+        etah_all = _hcorr_etas(Ulc, Urc, Byzlc, Byzrc, Bf, axes, sim)
+    else:
+        etah_all = None
+
     Fp2, FByz2 = {}, {}
     for a in axes:
         Ulh = vperm_to_sweep(Ulc[a], a, sim)
@@ -197,7 +205,8 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
         Bxi = Bf[a]
         Wl = cons1d_to_prim1d(Ul, Bxi, sim)
         Wr = cons1d_to_prim1d(Ur, Bxi, sim)
-        F = riemann.fluxes(Ul, Ur, Wl, Wr, Bxi, sim)
+        etah = etah_all[a] if etah_all is not None else None
+        F = riemann.fluxes(Ul, Ur, Wl, Wr, Bxi, sim, etah=etah)
         Fp2[a] = vperm_from_sweep(
             jnp.concatenate([F[:ib], F[ib + 2:]], 0), a, sim)
         FByz2[a] = F[ib:ib + 2]

@@ -1,13 +1,14 @@
 """VL (MUSCL-Hancock) integrator validation vs the reference C code.
 
-Eager single step on the asymmetric MHD blast (VL + HLLD + order 2p + FOFC
-build of the reference) matches EXACTLY (~2e-16 every variable, including
-B): first-order fluxes, predictor corner EMFs, half faces, corrector fluxes
-and corner EMFs were each verified against instrumented reference dumps at
-1e-15.  Under jit, XLA's FMA contraction perturbs exact-zero transverse
-mass fluxes (±1e-17), flipping Gardiner-Stone tie-average branches where
-the true value is 0 — the same FP-degeneracy the C code shows under
--mfma — so the jitted multi-step tolerance is loose.
+Golden committed in tests/golden/ (deck `athinput.blastvl`,
+blastvl_1step.npz), regenerated from a reference build of
+`--with-gas=mhd --with-flux=hlld --with-order=2p --with-integrator=vl
+--enable-fofc`.
+
+Eager single step on the asymmetric MHD blast matches to roundoff
+(~5e-14 every variable, including B): first-order fluxes, predictor
+corner EMFs, half faces, corrector fluxes and corner EMFs were each
+verified against instrumented reference dumps at 1e-15 in round 1.
 """
 
 import os
@@ -18,22 +19,20 @@ import pytest
 from atmospheric_athena_tpu import Simulation
 from atmospheric_athena_tpu.integrators import vl3d
 
-DECK1 = "/root/repo/.refbuild/run/blastvl/deck1"
-GOLD1 = "/root/repo/.refbuild/run/blastvl/n1/Blast_B1.0001.tab"
+GOLD_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not os.path.exists(GOLD1),
-                    reason="reference build outputs not present")
 def test_vl_mhd_blast_one_step_eager_exact():
-    s = Simulation.from_file(DECK1, gas="mhd", integrator="vl", flux="hlld",
-                             order="2p", first_order_flux_correction=True)
+    s = Simulation.from_file(
+        os.path.join(GOLD_DIR, "athinput.blastvl"), gas="mhd",
+        integrator="vl", flux="hlld", order="2p",
+        first_order_flux_correction=True)
     st = vl3d.step(s.state, s.state.dt, s.sim, s.grid, s.problem)
-    ref = np.loadtxt(GOLD1)
-    Nx, Ny, Nz = 32, 48, 32
+    gold = np.load(os.path.join(GOLD_DIR, "blastvl_1step.npz"))
     U = np.asarray(st.U)[(slice(None),) + s.grid.interior()]
     B = np.asarray(st.Bcc)[(slice(None),) + s.grid.interior()]
-    for q, c in [(U[0], 6), (U[1], 7), (U[2], 8), (U[3], 9), (U[4], 10),
-                 (B[0], 11), (B[1], 12), (B[2], 13)]:
-        r = ref[:, c].reshape(Nz, Ny, Nx)
-        np.testing.assert_allclose(q, r, rtol=0, atol=5e-14)
+    got = {"d": U[0], "M1": U[1], "M2": U[2], "M3": U[3], "E": U[4],
+           "B1c": B[0], "B2c": B[1], "B3c": B[2]}
+    for name in got:
+        np.testing.assert_allclose(got[name], gold[name], rtol=0, atol=5e-14)
