@@ -4,12 +4,13 @@ Physical BCs fill the nghost ghost layers per axis, in the fixed order
 x1 → x2 → x3 so that edge/corner ghosts are filled correctly
 (bvals_mhd.c:170-171).  Flags (bvals_mhd.c:540-637):
 
-  1 reflect   — mirror cells, negate the normal momentum; normal interface
-                field reflected (reflecting boundary, B_normal continuous=0)
+  1 reflect   — mirror cells, negate the normal momentum and normal B;
+                the normal interface field is zeroed ON the boundary face and
+                odd-mirrored about it (bvals_mhd.c:982-989, 1041-1048)
   2 outflow   — zero-gradient copy of the edge active plane
   4 periodic  — wrap-around copy (serial analogue of the MPI wraparound)
-  5 conductor — like reflect but B_normal is kept (MHD; reflect_* in this
-                fork per SURVEY Appendix A)
+  5 conductor — identical to reflect in this fork: case 5 dispatches to the
+                same reflect_* functions (bvals_mhd.c:579-581, 629-631)
   0 user      — problem-enrolled function (bvals_mhd_fun, bvals_mhd.c:917)
 
 The sharded version (parallel/halo.py) replaces interior faces with
@@ -63,6 +64,30 @@ def _ghost_block(arr, axis_dim, ng, side, flag, negate_comp=None):
     raise NotImplementedError(f"BC flag {flag}")
 
 
+def _reflect_normal_face(arr, axis_dim, ng, side):
+    """Reflect/conductor fill of the face field normal to the boundary.
+
+    With face index f = lower face of cell f, the boundary face sits at
+    f0 = ng (lo) or f0 = n-ng (hi).  The reference zeroes B_normal on the
+    boundary face and sets the ng-1 ghost faces to the negated mirror:
+    B[f0 - j] = -B[f0 + j] (lo) / B[f0 + j] = -B[f0 - j] (hi), j=1..ng-1
+    (reflect_ix1 bvals_mhd.c:982-989; reflect_ox1 :1041-1048).
+    """
+    n = arr.shape[axis_dim]
+    f0 = ng if side == "lo" else n - ng
+    zero_idx = [slice(None)] * arr.ndim
+    zero_idx[axis_dim] = slice(f0, f0 + 1)
+    arr = arr.at[tuple(zero_idx)].set(0.0)
+    if side == "lo":
+        src, dst = slice(f0 + 1, f0 + ng), slice(f0 - ng + 1, f0)
+    else:
+        src, dst = slice(f0 - ng + 1, f0), slice(f0 + 1, f0 + ng)
+    blk = -jnp.flip(_take(arr, axis_dim, src), axis=axis_dim)
+    idx = [slice(None)] * arr.ndim
+    idx[axis_dim] = dst
+    return arr.at[tuple(idx)].set(blk)
+
+
 def apply_bc(state: State, grid: GridConfig, sim: SimConfig,
              problem=None) -> State:
     """Fill all ghost zones of U (and Bcc/B*i for MHD)."""
@@ -96,14 +121,19 @@ def apply_bc(state: State, grid: GridConfig, sim: SimConfig,
             U = _fill(U, ad_U, ng, side, blk)
             if sim.mhd:
                 bblk = _ghost_block(Bcc, ad_U, ng, side, flag)
-                if flag == BC_REFLECT:
+                if flag in (BC_REFLECT, BC_CONDUCTOR):
                     bblk = bblk.at[axis].multiply(-1.0)
                 Bcc = _fill(Bcc, ad_U, ng, side, bblk)
                 for b in range(3):
-                    fblk = _ghost_block(Bi[b], ad, ng, side, flag)
-                    if flag == BC_REFLECT and b == axis:
-                        fblk = -fblk
-                    Bi[b] = _fill(Bi[b], ad, ng, side, fblk)
+                    if flag in (BC_REFLECT, BC_CONDUCTOR) and b == axis:
+                        # Normal face field: zero the boundary face itself
+                        # and odd-mirror the ghost faces about it; the
+                        # outermost lo ghost face (is-nghost) is untouched
+                        # (reflect_ix1/ox1, bvals_mhd.c:982-989,1041-1048).
+                        Bi[b] = _reflect_normal_face(Bi[b], ad, ng, side)
+                    else:
+                        fblk = _ghost_block(Bi[b], ad, ng, side, flag)
+                        Bi[b] = _fill(Bi[b], ad, ng, side, fblk)
 
     kw = dict(U=U)
     if sim.mhd:

@@ -189,24 +189,53 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
                       jnp.where(floor_ok, big, dt_cool)))
         return edot, jnp.min(dt_cell)
 
+    if sim.mhd:
+        Bfi = [state.B1i[sl], state.B2i[sl], state.B3i[sl]]
+
     def dt_hydro_now(s0, E):
-        """compute_dt_hydro (ionrad_3d.c:593-678) — CFL from current E."""
+        """compute_dt_hydro (ionrad_3d.c:593-678) — CFL from current E.
+
+        MHD: per-axis fast magnetosonic speed from the max of face- and
+        cell-centered fields, b_a = B_ac + |B_ai − B_ac| (ionrad_3d.c:615-640).
+        """
         di = 1.0 / d
         qsq = (M1 ** 2 + M2 ** 2 + M3 ** 2) * di * di
         if sim.mhd:
-            bsq = B[0] ** 2 + B[1] ** 2 + B[2] ** 2
-            p = jnp.maximum(sim.gamma_1 * (E - 0.5 * d * qsq - 0.5 * bsq),
-                            TINY_NUMBER)
+            b1 = B[0] + jnp.abs(Bfi[0] - B[0])
+            b2 = B[1] + jnp.abs(Bfi[1] - B[1])
+            b3 = B[2] + jnp.abs(Bfi[2] - B[2])
+            bsq = b1 * b1 + b2 * b2 + b3 * b3
+            if sim.adiabatic:
+                p = jnp.maximum(
+                    sim.gamma_1 * (E - 0.5 * d * qsq - 0.5 * bsq),
+                    TINY_NUMBER)
+                asq = sim.gamma * p * di
+            else:
+                asq = sim.iso_csound ** 2
+            tsum = bsq * di + asq
+            tdif = bsq * di - asq
+            cfsq = [
+                0.5 * (tsum + jnp.sqrt(tdif * tdif
+                                       + 4.0 * asq * (b2 * b2 + b3 * b3) * di)),
+                0.5 * (tsum + jnp.sqrt(tdif * tdif
+                                       + 4.0 * asq * (b1 * b1 + b3 * b3) * di)),
+                0.5 * (tsum + jnp.sqrt(tdif * tdif
+                                       + 4.0 * asq * (b1 * b1 + b2 * b2) * di)),
+            ]
         else:
-            p = jnp.maximum(sim.gamma_1 * (E - 0.5 * d * qsq), TINY_NUMBER)
-        asq = sim.gamma * p * di
-        # hydro: all three directional speeds equal; MHD variant pending
-        cf = jnp.sqrt(asq)
+            if sim.adiabatic:
+                p = jnp.maximum(sim.gamma_1 * (E - 0.5 * d * qsq),
+                                TINY_NUMBER)
+                asq = sim.gamma * p * di
+            else:
+                asq = jnp.full_like(E, sim.iso_csound ** 2)
+            cfsq = [asq, asq, asq]
         dti = jnp.zeros((), E.dtype)
         for a in range(3):
             if grid.Nx[a] > 1:
                 v = jnp.abs(U[IM1 + a]) * di
-                dti = jnp.maximum(dti, jnp.max(v + cf) / grid.dx[a])
+                dti = jnp.maximum(dti,
+                                  jnp.max(v + jnp.sqrt(cfsq[a])) / grid.dx[a])
         return cour_no / dti
 
     def body(c: _Carry):
