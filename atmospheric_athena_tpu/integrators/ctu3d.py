@@ -86,7 +86,7 @@ def _cfast_cons(Uc, axis, sim: SimConfig, Bx=None):
 
 
 def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
-         phi_sg=None, selfg_pars=None):
+         phi_sg=None, selfg_pars=None, return_fluxes=False):
     """One CTU step over all active axes (2 or 3 of them).
 
     phi_sg: self-gravity potential (padded array) solved from rho at t^n;
@@ -103,11 +103,24 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     U = state.U
     phic, phif = _phi_arrays(problem, grid, U.dtype)
 
+    # Fused Pallas fast path for the bandwidth-dominant phases (see
+    # ops/pallas_hydro.py, ops/pallas_ctu_mid.py); numerically identical
+    # to the jnp formulation.
+    from ..ops import pallas_ctu_mid, pallas_hydro
+    use_pallas = (sim.pallas_enabled and phi_sg is None and len(axes) == 3
+                  and pallas_hydro.supported(sim, grid))
+    use_pallas_mid = use_pallas and pallas_ctu_mid.supported(grid)
+
     # === STEPS 1-3: per-axis L/R states + first-pass fluxes =================
     # (sweep variable order via leading-axis permutation only; shifts act on
     # the sweep axis in place — no per-sweep transposes)
     Ulp, Urp, Fp = {}, {}, {}
     for a in axes:
+        if use_pallas:
+            Ulp[a], Urp[a], Fp[a] = pallas_hydro.sweep_lrflux(
+                U, phic, phif[a] if phic is not None else None,
+                dtodx[a], sim, a)
+            continue
         U1d = vperm_to_sweep(U, a, sim)
         W = cons1d_to_prim1d(U1d, None, sim)
         Wm, Wp_ = reconstruct.lr_states(W, None, dtodx[a], sim, axis=2 - a)
@@ -139,9 +152,15 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     # === STEPS 5-7: transverse flux-gradient corrections ====================
     # (integrate_3d_ctu.c:971-1065 and cyclic counterparts; in physical
     # order each component receives its own transverse flux difference)
-    dF = {b: _sh(Fp[b], 1, b) - Fp[b] for b in axes}
     Ulc, Urc = {}, {}
-    for a in axes:
+    if use_pallas_mid:
+        for a in axes:
+            Ulc[a], Urc[a] = pallas_ctu_mid.transverse_correct(
+                Ulp[a], Urp[a], Fp, U, phic, phif, q, sim, grid, a, axes)
+        dF = None
+    else:
+        dF = {b: _sh(Fp[b], 1, b) - Fp[b] for b in axes}
+    for a in axes if not use_pallas_mid else ():
         dUl = 0.0
         dUr = 0.0
         for b in axes:
@@ -189,7 +208,9 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     if phic is not None or phi_sg is not None:
         dhalf = U[ID]
         for a in axes:
-            dhalf = dhalf - q[a] * dF[a][ID]
+            dFID = (dF[a][ID] if dF is not None
+                    else _shf(Fp[a][ID], 1, a) - Fp[a][ID])
+            dhalf = dhalf - q[a] * dFID
 
     # === STEP 9: H-correction etas + final fluxes ===========================
     etas = {}
@@ -214,12 +235,24 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
                 for cand in (eb, _shf(eb, -1, a), _shf(eb, 1, b),
                              _shf(_shf(eb, 1, b), -1, a)):
                     etah = jnp.maximum(etah, cand)
+        if use_pallas:
+            Fp2[a] = pallas_hydro.flux_pointwise(Ulc[a], Urc[a], etah,
+                                                 sim, a)
+            continue
         Ul = vperm_to_sweep(Ulc[a], a, sim)
         Ur = vperm_to_sweep(Urc[a], a, sim)
         Wl = cons1d_to_prim1d(Ul, None, sim)
         Wr = cons1d_to_prim1d(Ur, None, sim)
         F = riemann.fluxes(Ul, Ur, Wl, Wr, None, sim, etah=etah)
         Fp2[a] = vperm_from_sweep(F, a, sim)
+
+    # === STEPS 11-12 fused (pallas): gravity source + flux-difference
+    # update + interior splice in one kernel
+    if use_pallas_mid:
+        Uout = pallas_ctu_mid.final_update(U, Fp2, dhalf, phic, phif,
+                                           dtodx, sim, grid, axes)
+        out = state.replace(U=Uout)
+        return (out, Fp2) if return_fluxes else out
 
     # === STEP 11: full-dt source terms at n+1/2 =============================
     Unew = U
@@ -283,4 +316,5 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     # splice: only active cells take the update (ghosts refreshed by bvals)
     sl = (slice(None),) + grid.interior()
     Uout = U.at[sl].set(Unew[sl])
-    return state.replace(U=Uout)
+    out = state.replace(U=Uout)
+    return (out, Fp2) if return_fluxes else out

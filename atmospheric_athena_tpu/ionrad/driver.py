@@ -69,13 +69,177 @@ def _d_nlim(d, ion):
     return jnp.minimum(d * IONFRACFLOOR, ion.d_nlo)
 
 
+# ---------------------------------------------------------------------------
+# Pure per-cell physics (no reductions) — shared verbatim by the jnp path
+# below and the fused Pallas sub-cycle kernels (pallas_rad.py), so the two
+# paths are formula-identical by construction.
+# ---------------------------------------------------------------------------
+
+
+def rates_percell(s0, E, d, ke_be, last_sign, sign_count, ph_rate, d_nlim,
+                  sim: SimConfig, ion: IonConfig):
+    """compute_chem_rates + compute_therm_rates per cell
+    (ionrad_3d.c:288-409, 414-562).  Note: the reference also damps the
+    *stale* edot in chem_rates, which therm_rates then overwrites
+    unconditionally — only the nHdot damping survives; we implement exactly
+    that surviving behavior.
+
+    Returns (nHdot, new_sign, new_count, dt_chem_cell, edot, dt_therm_cell).
+    """
+    n_H, n_Hplus, n_e, x = chem.species(d, s0, ion)
+    e_sp = (E - ke_be) / d
+    T = chem.temperature(e_sp, x, sim.gamma_1, ion)
+    Tc = jnp.maximum(T, ion.tfloor)
+    nHdot = (chem.recomb_rate_coef(Tc) * ion.time_unit * n_e * n_Hplus
+             - ph_rate * n_H)
+
+    # oscillation bookkeeping (:341-353); neg/pos are exclusive so the
+    # nested where collapses to a boolean expression (Mosaic cannot lower
+    # an i1 select with literal bool operands)
+    neg = nHdot < 0.0
+    pos = nHdot > 0.0
+    flipped = (neg & (last_sign == 1)) | (pos & (last_sign == -1))
+    new_count = jnp.where(
+        neg | pos,
+        jnp.where(flipped, sign_count + 1,
+                  jnp.maximum(sign_count - (sign_count > 0), 0)),
+        0)
+    new_sign = jnp.where(neg, -1, jnp.where(pos, 1, 0)).astype(
+        last_sign.dtype)
+    # damping: nHdot *= DAMPFACTOR^(sign_count - MAXSIGNCOUNT) (:360-363)
+    ndamp = jnp.maximum(new_count - MAXSIGNCOUNT, 0)
+    nHdot = nHdot * DAMPFACTOR ** ndamp.astype(nHdot.dtype)
+
+    mx = ion.max_dx_iter
+    dt1_pos = mx / (1 + mx) * n_e / nHdot
+    dt2_pos = mx * n_H / nHdot
+    dt1_neg = -mx * n_e / nHdot
+    dt2_neg = -mx / (1 + mx) * n_H / nHdot
+    above_floor = s0 > 1.0001 * d_nlim
+    big = jnp.finfo(s0.dtype).max  # LARGE ~ DBL_MAX (ionrad.h:16)
+    dt_chem_cell = jnp.where(
+        nHdot > 0.0, jnp.minimum(dt1_pos, dt2_pos),
+        jnp.where((nHdot < 0.0) & above_floor,
+                  jnp.minimum(dt1_neg, dt2_neg), big))
+
+    # --- therm (compute_therm_rates, :414-562) ---
+    e_thermal = E - ke_be
+    edot = (ph_rate * ion.e_gamma * n_H
+            - chem.recomb_cool_rate_coef(T, ion.k_B) * ion.time_unit
+            * n_Hplus * n_e
+            + chem.lya_cool_rate(n_H, n_e, T) * ion.time_unit)
+    skip = (T < ion.tfloor) | ((nHdot < 0) & (s0 < 1.0001 * d_nlim))
+    edot = jnp.where(skip, 0.0, edot)
+
+    mde, mdt = ion.max_de_iter, ion.max_de_therm_iter
+    dt_heat = jnp.minimum(mde * E / edot, mdt * e_thermal / edot)
+    # cooling: account for the temperature floor (:503-538)
+    mm = chem.mean_mass(x, ion)
+    e_sp_min = ion.tfloor * ion.k_B / (mm * sim.gamma_1)
+    e_th_min = e_sp_min * d
+    e_min = ke_be + e_th_min
+    floor_ok = (e_thermal / (1.0 + mdt) < e_th_min) & \
+               (E / (1.0 + mde) < e_min)
+    dt_cool = jnp.minimum(-mde / (1 + mde) * E / edot,
+                          -mdt / (1 + mdt) * e_thermal / edot)
+    dt_therm_cell = jnp.where(
+        edot == 0.0, big,
+        jnp.where(edot > 0.0, dt_heat,
+                  jnp.where(floor_ok, big, dt_cool)))
+    return nHdot, new_sign, new_count, dt_chem_cell, edot, dt_therm_cell
+
+
+def update_percell(s0, E, d, ke_be, nHdot, edot, ph_rate, dt, d_nlim,
+                   e_init, e_th_init, x_init, sim: SimConfig,
+                   ion: IonConfig):
+    """ionization_update (:565-590) + floors + check_range violation flags
+    (:977-1002, :222-224).  Returns (E_new, s0_new, viol_cell) with
+    viol_cell ∈ {0,1} as the state dtype (exact for any realistic count)."""
+    upd = (nHdot > 0) | (s0 > 1.0001 * d_nlim)
+    E2 = E + jnp.where(upd, edot * dt, 0.0)
+    s02 = s0 + jnp.where(upd, nHdot * dt * ion.m_H, 0.0)
+    E2, s02 = _apply_floors(E2, s02, d, ke_be, sim, ion)
+
+    _, e_th, x = _temp(E2, s02, d, ke_be, sim, ion)
+    n_H = s02 / ion.m_H
+    dtype_skip = ph_rate / (ion.min_area * n_H) > 2.0 * CION
+    viol = jnp.zeros_like(dtype_skip)
+    if ion.max_de_therm_step > 0:
+        r = e_th / e_th_init
+        viol = viol | (r >= 1 + ion.max_de_therm_step) | \
+            (1.0 / r >= 1 + ion.max_de_therm_step)
+    if ion.max_de_step > 0:
+        r = E2 / e_init
+        viol = viol | (r >= 1 + ion.max_de_step) | \
+            (1.0 / r >= 1 + ion.max_de_step)
+    if ion.max_dx_step > 0:
+        r = x / x_init
+        viol = viol | (r >= 1 + ion.max_dx_step) | \
+            (1.0 / r >= 1 + ion.max_dx_step)
+    viol_cell = (viol & ~dtype_skip).astype(E.dtype)
+    return E2, s02, viol_cell
+
+
+def dti_percell(s0_unused, E, d, M1, M2, M3, sim: SimConfig,
+                grid: GridConfig, B=None, Bfi=None):
+    """Per-cell max over active axes of (|v_a| + c_f,a)/dx_a
+    (compute_dt_hydro, ionrad_3d.c:593-678).  The global CFL dt is
+    cour_no / max(dti)."""
+    di = 1.0 / d
+    qsq = (M1 ** 2 + M2 ** 2 + M3 ** 2) * di * di
+    if sim.mhd:
+        b1 = B[0] + jnp.abs(Bfi[0] - B[0])
+        b2 = B[1] + jnp.abs(Bfi[1] - B[1])
+        b3 = B[2] + jnp.abs(Bfi[2] - B[2])
+        bsq = b1 * b1 + b2 * b2 + b3 * b3
+        if sim.adiabatic:
+            p = jnp.maximum(
+                sim.gamma_1 * (E - 0.5 * d * qsq - 0.5 * bsq),
+                TINY_NUMBER)
+            asq = sim.gamma * p * di
+        else:
+            asq = sim.iso_csound ** 2
+        tsum = bsq * di + asq
+        tdif = bsq * di - asq
+        cfsq = [
+            0.5 * (tsum + jnp.sqrt(tdif * tdif
+                                   + 4.0 * asq * (b2 * b2 + b3 * b3) * di)),
+            0.5 * (tsum + jnp.sqrt(tdif * tdif
+                                   + 4.0 * asq * (b1 * b1 + b3 * b3) * di)),
+            0.5 * (tsum + jnp.sqrt(tdif * tdif
+                                   + 4.0 * asq * (b1 * b1 + b2 * b2) * di)),
+        ]
+    else:
+        if sim.adiabatic:
+            p = jnp.maximum(sim.gamma_1 * (E - 0.5 * d * qsq),
+                            TINY_NUMBER)
+            asq = sim.gamma * p * di
+        else:
+            asq = jnp.full_like(E, sim.iso_csound ** 2)
+        cfsq = [asq, asq, asq]
+    M = [M1, M2, M3]
+    dti = jnp.zeros_like(E)
+    for a in range(3):
+        if grid.Nx[a] > 1:
+            v = jnp.abs(M[a]) * di
+            dti = jnp.maximum(dti, (v + jnp.sqrt(cfsq[a])) / grid.dx[a])
+    return dti
+
+
 def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
-                    ion: IonConfig, time, cour_no: float):
+                    ion: IonConfig, time, cour_no: float,
+                    inlet=None, tcoarse=None):
     """One radiation step: floors + sub-cycled chemistry/heating.
 
     `cour_no` is <time>/cour_no, needed by the compute_dt_hydro stopping
     criterion.  Returns (new_state, dt_new): state with updated E, s0,
     Eflux and the (possibly shrunk) hydro dt for this cycle.
+
+    SMR fine-level mode (ionrad_3d.c:914-962, 1004-1013): with `tcoarse`
+    set, the sub-cycle integrates exactly to tcoarse — the root level's
+    dt_done — without any dt feedback, and `inlet` (a per-column array
+    from the parent's EdgeFlux, smr.child_inlet_flux) replaces the
+    time-ramped domain-face inflow.
     """
     sl = grid.interior()
     Usl = (slice(None),) + sl
@@ -108,7 +272,9 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
         kph_tot = jnp.zeros_like(s0)
         eflux = None
         for dirn, fx in ion.radplanes:
-            if abs(dirn) == 1:
+            if inlet is not None:
+                inflow = jnp.asarray(inlet, s0.dtype)
+            elif abs(dirn) == 1:
                 inflow = inlet_ramp(fx, time, ion)
             else:
                 inflow = jnp.asarray(fx, s0.dtype)
@@ -116,173 +282,71 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
             kph_tot = kph_tot + kph
         return kph_tot, eflux
 
-    def chem_rates(s0, E, last_sign, sign_count, ph_rate):
-        """compute_chem_rates (ionrad_3d.c:288-409).  Note: the reference
-        also damps the *stale* edot here, which compute_therm_rates then
-        overwrites unconditionally — so only the nHdot damping survives;
-        we implement exactly that surviving behavior."""
-        n_H, n_Hplus, n_e, x = chem.species(d, s0, ion)
-        e_sp = (E - ke_be) / d
-        T = chem.temperature(e_sp, x, sim.gamma_1, ion)
-        T = jnp.maximum(T, ion.tfloor)
-        nHdot = (chem.recomb_rate_coef(T) * ion.time_unit * n_e * n_Hplus
-                 - ph_rate * n_H)
-
-        # oscillation bookkeeping (:341-353)
-        neg = nHdot < 0.0
-        pos = nHdot > 0.0
-        flipped = jnp.where(neg, last_sign == 1,
-                            jnp.where(pos, last_sign == -1, False))
-        new_count = jnp.where(
-            neg | pos,
-            jnp.where(flipped, sign_count + 1,
-                      jnp.maximum(sign_count - (sign_count > 0), 0)),
-            0)
-        new_sign = jnp.where(neg, -1, jnp.where(pos, 1, 0)).astype(
-            last_sign.dtype)
-        # damping: nHdot *= DAMPFACTOR^(sign_count - MAXSIGNCOUNT) (:360-363)
-        ndamp = jnp.maximum(new_count - MAXSIGNCOUNT, 0)
-        nHdot = nHdot * DAMPFACTOR ** ndamp.astype(nHdot.dtype)
-
-        mx = ion.max_dx_iter
-        dt1_pos = mx / (1 + mx) * n_e / nHdot
-        dt2_pos = mx * n_H / nHdot
-        dt1_neg = -mx * n_e / nHdot
-        dt2_neg = -mx / (1 + mx) * n_H / nHdot
-        above_floor = s0 > 1.0001 * d_nlim
-        big = jnp.finfo(s0.dtype).max  # LARGE ~ DBL_MAX (ionrad.h:16)
-        dt_cell = jnp.where(
-            nHdot > 0.0, jnp.minimum(dt1_pos, dt2_pos),
-            jnp.where((nHdot < 0.0) & above_floor,
-                      jnp.minimum(dt1_neg, dt2_neg), big))
-        return nHdot, new_sign, new_count, jnp.min(dt_cell)
-
-    def therm_rates(s0, E, nHdot, ph_rate):
-        """compute_therm_rates (ionrad_3d.c:414-562)."""
-        n_H, n_Hplus, n_e, x = chem.species(d, s0, ion)
-        e_thermal = E - ke_be
-        e_sp = e_thermal / d
-        T = chem.temperature(e_sp, x, sim.gamma_1, ion)
-
-        edot = (ph_rate * ion.e_gamma * n_H
-                - chem.recomb_cool_rate_coef(T, ion.k_B) * ion.time_unit
-                * n_Hplus * n_e
-                + chem.lya_cool_rate(n_H, n_e, T) * ion.time_unit)
-        skip = (T < ion.tfloor) | ((nHdot < 0) & (s0 < 1.0001 * d_nlim))
-        edot = jnp.where(skip, 0.0, edot)
-
-        mde, mdt = ion.max_de_iter, ion.max_de_therm_iter
-        dt_heat = jnp.minimum(mde * E / edot, mdt * e_thermal / edot)
-        # cooling: account for the temperature floor (:503-538)
-        mm = chem.mean_mass(x, ion)
-        e_sp_min = ion.tfloor * ion.k_B / (mm * sim.gamma_1)
-        e_th_min = e_sp_min * d
-        e_min = ke_be + e_th_min
-        floor_ok = (e_thermal / (1.0 + mdt) < e_th_min) & \
-                   (E / (1.0 + mde) < e_min)
-        dt_cool = jnp.minimum(-mde / (1 + mde) * E / edot,
-                              -mdt / (1 + mdt) * e_thermal / edot)
-        big = jnp.finfo(E.dtype).max
-        dt_cell = jnp.where(
-            edot == 0.0, big,
-            jnp.where(edot > 0.0, dt_heat,
-                      jnp.where(floor_ok, big, dt_cool)))
-        return edot, jnp.min(dt_cell)
-
     if sim.mhd:
+        Bsl = B
         Bfi = [state.B1i[sl], state.B2i[sl], state.B3i[sl]]
+    else:
+        Bsl = Bfi = None
 
-    def dt_hydro_now(s0, E):
-        """compute_dt_hydro (ionrad_3d.c:593-678) — CFL from current E.
-
-        MHD: per-axis fast magnetosonic speed from the max of face- and
-        cell-centered fields, b_a = B_ac + |B_ai − B_ac| (ionrad_3d.c:615-640).
-        """
-        di = 1.0 / d
-        qsq = (M1 ** 2 + M2 ** 2 + M3 ** 2) * di * di
-        if sim.mhd:
-            b1 = B[0] + jnp.abs(Bfi[0] - B[0])
-            b2 = B[1] + jnp.abs(Bfi[1] - B[1])
-            b3 = B[2] + jnp.abs(Bfi[2] - B[2])
-            bsq = b1 * b1 + b2 * b2 + b3 * b3
-            if sim.adiabatic:
-                p = jnp.maximum(
-                    sim.gamma_1 * (E - 0.5 * d * qsq - 0.5 * bsq),
-                    TINY_NUMBER)
-                asq = sim.gamma * p * di
-            else:
-                asq = sim.iso_csound ** 2
-            tsum = bsq * di + asq
-            tdif = bsq * di - asq
-            cfsq = [
-                0.5 * (tsum + jnp.sqrt(tdif * tdif
-                                       + 4.0 * asq * (b2 * b2 + b3 * b3) * di)),
-                0.5 * (tsum + jnp.sqrt(tdif * tdif
-                                       + 4.0 * asq * (b1 * b1 + b3 * b3) * di)),
-                0.5 * (tsum + jnp.sqrt(tdif * tdif
-                                       + 4.0 * asq * (b1 * b1 + b2 * b2) * di)),
-            ]
-        else:
-            if sim.adiabatic:
-                p = jnp.maximum(sim.gamma_1 * (E - 0.5 * d * qsq),
-                                TINY_NUMBER)
-                asq = sim.gamma * p * di
-            else:
-                asq = jnp.full_like(E, sim.iso_csound ** 2)
-            cfsq = [asq, asq, asq]
-        dti = jnp.zeros((), E.dtype)
-        for a in range(3):
-            if grid.Nx[a] > 1:
-                v = jnp.abs(U[IM1 + a]) * di
-                dti = jnp.maximum(dti,
-                                  jnp.max(v + jnp.sqrt(cfsq[a])) / grid.dx[a])
-        return cour_no / dti
+    # Fused Pallas sub-cycle (see pallas_rad.py); formula-identical to the
+    # jnp path below — both call rates_percell/update_percell/dti_percell.
+    from . import pallas_rad
+    use_pallas = ((not sim.mhd) and inlet is None
+                  and pallas_rad.supported(sim, grid, ion))
+    if use_pallas:
+        rates_fn, update_fn = pallas_rad.build(
+            sim, grid, ion, d, ke_be, M1, M2, M3, e_init, e_th_init,
+            x_init, d_nlim)
+        Fin0 = inlet_ramp(flux_i, time, ion) if abs(direction) == 1 \
+            else jnp.asarray(flux_i, d.dtype)
 
     def body(c: _Carry):
-        ph_rate, eflux = ph_rate_all(c.s0)
-        nHdot, lsn, scn, dt_chem = chem_rates(c.s0, c.E, c.last_sign,
-                                              c.sign_count, ph_rate)
-        edot, dt_therm = therm_rates(c.s0, c.E, nHdot, ph_rate)
+        if use_pallas:
+            (kph, nHdot, edot, lsn, scn, eflux, dt_chem,
+             dt_therm) = rates_fn(c.s0, c.E, c.last_sign, c.sign_count,
+                                  Fin0)
+        else:
+            kph, eflux = ph_rate_all(c.s0)
+            nHdot, lsn, scn, dtc_cell, edot, dtt_cell = rates_percell(
+                c.s0, c.E, d, ke_be, c.last_sign, c.sign_count, kph,
+                d_nlim, sim, ion)
+            dt_chem = jnp.min(dtc_cell)
+            dt_therm = jnp.min(dtt_cell)
         dt = jnp.minimum(dt_chem, dt_therm)
 
-        # clip to the hydro step (ionrad_3d.c:950-954)
-        hydro_done = c.dt_done + dt > dt0
-        dt = jnp.where(hydro_done, dt0 - c.dt_done, dt)
+        # clip to the hydro step, or to the root level's tcoarse in SMR
+        # fine-level mode (ionrad_3d.c:950-962)
+        dt_limit = dt0 if tcoarse is None else tcoarse
+        hydro_done = c.dt_done + dt > dt_limit
+        dt = jnp.where(hydro_done, dt_limit - c.dt_done, dt)
 
-        # explicit update (ionization_update, :565-590)
-        upd = (nHdot > 0) | (c.s0 > 1.0001 * d_nlim)
-        E = c.E + jnp.where(upd, edot * dt, 0.0)
-        s0 = c.s0 + jnp.where(upd, nHdot * dt * ion.m_H, 0.0)
+        # explicit update + floors + stopping criteria (:565-590, :977-1002)
+        if use_pallas:
+            E, s0, cellcount, dti_max = update_fn(c.s0, c.E, kph, nHdot,
+                                                  edot, dt)
+        else:
+            E, s0, viol_cell = update_percell(
+                c.s0, c.E, d, ke_be, nHdot, edot, kph, dt, d_nlim,
+                e_init, e_th_init, x_init, sim, ion)
+            cellcount = jnp.sum(viol_cell)
+            dti_max = jnp.max(dti_percell(None, E, d, M1, M2, M3, sim,
+                                          grid, Bsl, Bfi))
         dt_done = c.dt_done + dt
-        E, s0 = _apply_floors(E, s0, d, ke_be, sim, ion)
-
-        # stopping criteria (:977-1002)
-        _, e_th, x = _temp(E, s0, d, ke_be, sim, ion)
-        n_H = s0 / ion.m_H
-        dtype_skip = ph_rate / (ion.min_area * n_H) > 2.0 * CION
-        viol = jnp.zeros_like(dtype_skip)
-        if ion.max_de_therm_step > 0:
-            r = e_th / e_th_init
-            viol = viol | (r >= 1 + ion.max_de_therm_step) | \
-                (1.0 / r >= 1 + ion.max_de_therm_step)
-        if ion.max_de_step > 0:
-            r = E / e_init
-            viol = viol | (r >= 1 + ion.max_de_step) | \
-                (1.0 / r >= 1 + ion.max_de_step)
-        if ion.max_dx_step > 0:
-            r = x / x_init
-            viol = viol | (r >= 1 + ion.max_dx_step) | \
-                (1.0 / r >= 1 + ion.max_dx_step)
-        cellcount = jnp.sum(viol & ~dtype_skip)
         range_hit = cellcount > MAXCELLCOUNT
 
-        dt_h = dt_hydro_now(s0, E)
+        dt_h = cour_no / dti_max
         cfl_hit = dt_h < dt_done
 
-        stop = range_hit | hydro_done | cfl_hit
-        dt_new = jnp.where(range_hit, dt_done,
-                           jnp.where(hydro_done, c.dt_new,
-                                     jnp.where(cfl_hit, dt_done, c.dt_new)))
+        if tcoarse is None:
+            stop = range_hit | hydro_done | cfl_hit
+            dt_new = jnp.where(range_hit, dt_done,
+                               jnp.where(hydro_done, c.dt_new,
+                                         jnp.where(cfl_hit, dt_done,
+                                                   c.dt_new)))
+        else:
+            # fine level: integrate to tcoarse regardless; no dt feedback
+            stop = hydro_done
+            dt_new = c.dt_new
         return _Carry(E, s0, lsn, scn, dt_done, dt_new, c.niter + 1, stop,
                       eflux)
 
@@ -304,7 +368,10 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
     out = jax.lax.while_loop(cond, body, init)
 
     # maxiter exit without a stop condition: dt = dt_done (ionrad_3d.c:1022)
-    dt_new = jnp.where(out.stop, out.dt_new, out.dt_done)
+    if tcoarse is None:
+        dt_new = jnp.where(out.stop, out.dt_new, out.dt_done)
+    else:
+        dt_new = dt0   # fine levels never feed back into the mesh dt
 
     Unew = state.U.at[(iscal,) + sl].set(out.s0)
     if sim.adiabatic:

@@ -136,10 +136,14 @@ def hlle(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
     return jnp.stack(F)
 
 
-def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
     """Roe flux with supersonic short-circuit (roe.c:215-235), intermediate-
     state positivity test and per-interface HLLE fallback (roe.c:256-284),
-    and H-correction via `etah` (roe.c:295-300)."""
+    and H-correction via `etah` (roe.c:295-300).
+
+    branchless=True always evaluates the HLLE fallback and blends with
+    jnp.where (identical values) — required inside Pallas kernels, and free
+    when the computation is HBM-bound."""
     nw = sim.nwave
     if etah is None:
         etah = 0.0
@@ -209,6 +213,8 @@ def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
         F_hlle = hlle(Ul, Ur, Wl, Wr, Bxi, sim)
         return jnp.where(use_hlle, F_hlle, F)
 
+    if branchless:
+        return with_fallback(None)
     return jax.lax.cond(jnp.any(use_hlle), with_fallback, lambda _: F, None)
 
 
@@ -721,10 +727,12 @@ SOLVERS = {"roe": roe, "hlle": hlle, "hllc": hllc, "hlld": hlld,
            "exact": exact}
 
 
-def fluxes(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+def fluxes(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
     """Uniform dispatch like the reference's single compiled fluxes()."""
     try:
         solver = SOLVERS[sim.flux]
     except KeyError:
         raise NotImplementedError(f"flux={sim.flux} not yet implemented")
+    if branchless and sim.flux == "roe":
+        return roe(Ul, Ur, Wl, Wr, Bxi, sim, etah=etah, branchless=True)
     return solver(Ul, Ur, Wl, Wr, Bxi, sim, etah=etah)

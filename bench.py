@@ -26,6 +26,12 @@ REF_BASELINE = 3.11e5  # reference C serial zone-cycles/s on this host
 def main():
     import jax
 
+    # first compile of the fused-kernel step is minutes; persist it
+    here = os.path.dirname(os.path.abspath(__file__))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(here, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from atmospheric_athena_tpu import ParameterDB, Simulation
     from __graft_entry__ import _ISPH_DECK
