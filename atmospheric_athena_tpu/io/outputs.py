@@ -1,20 +1,30 @@
-"""Output dispatcher (reference: src/output.c:17-29 + data_output).
+"""Output dispatcher (reference: src/output.c init_output + data_output).
 
-Parses <outputN> blocks (out_fmt ∈ {hst, vtk, tab, rst}, out, dt, id,
-usr_expr_flag) and fires each writer whenever sim time passes its next
-output time, exactly like data_output's `if (pM->time >= pout->t)` schedule.
-Image formats (ppm/pgm/pdf) and bin dumps of the reference are pending.
+Parses <outputN> blocks and fires each writer whenever sim time passes its
+next output time, exactly like data_output's `if (pM->time >= pout->t)`
+schedule.  Supported out_fmt: hst, vtk, rst, tab, bin, ppm, pgm, pdf —
+the reference's full set (src/output.c:20-27).  As in the reference,
+out=cons/prim selects whole-grid dumps (dump_*) and any expression name
+(d, M1..M3, E, V1..V3, P, B1c.., ME, cs2, S, s0.., or a problem-defined
+user expression with usr_expr_flag=1) selects single-variable output_*
+writers with x1/x2/x3 slice/average reduction, dmin/dmax scaling and
+palettes for images.
+
+Filenames follow ath_fname (src/ath_files.c:112-123):
+  <problem_id>[-lev#][-dom#].NNNN[.id].<ext>
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
 
 from ..par import ParameterDB
+from . import formats
 from .history import HistoryWriter
 from .restart import save_checkpoint
 from .vtk import dump_vtk, dump_vtk_expr
@@ -28,8 +38,15 @@ class Output:
     out: str = "cons"
     id: Optional[str] = None
     usr_expr_flag: bool = False
+    dat_fmt: Optional[str] = None
+    dmin: Optional[float] = None
+    dmax: Optional[float] = None
+    palette: str = "rainbow"
+    ranges: dict = field(default_factory=dict)   # axis -> (l, u)
     t_next: float = 0.0
     count: int = 0
+    gmin: float = np.inf
+    gmax: float = -np.inf
 
 
 class OutputSet:
@@ -46,12 +63,24 @@ class OutputSet:
                 continue
             if not par.exist(blk, "out_fmt"):
                 continue
+            ranges = {}
+            for axis in range(3):
+                r = formats.parse_slice(par, blk, f"x{axis + 1}")
+                if r is not None:
+                    ranges[axis] = r
             self.outputs.append(Output(
                 num=num,
                 fmt=par.gets(blk, "out_fmt"),
                 dt=par.getd_def(blk, "dt", 0.0),
                 out=par.gets_def(blk, "out", "cons"),
                 id=par.gets_def(blk, "id", None),
+                dat_fmt=par.gets_def(blk, "dat_fmt", None),
+                dmin=par.getd(blk, "dmin") if par.exist(blk, "dmin")
+                else None,
+                dmax=par.getd(blk, "dmax") if par.exist(blk, "dmax")
+                else None,
+                palette=par.gets_def(blk, "palette", "rainbow"),
+                ranges=ranges,
                 usr_expr_flag=par.geti_def(blk, "usr_expr_flag", 0) == 1))
         self._hst = {}
         os.makedirs(outdir, exist_ok=True)
@@ -67,13 +96,29 @@ class OutputSet:
             while o.t_next <= t:
                 o.t_next += o.dt if o.dt > 0 else float("inf")
 
-    def _path(self, o: Output, ext: str):
-        tag = f"-{o.id}" if o.id else ""
+    def _path(self, o: Output, ext: str, with_id: bool = True):
+        iddot = f".{o.id or f'out{o.num}'}" if with_id else ""
         return os.path.join(self.outdir,
-                            f"{self.problem_id}{tag}.{o.count:04d}.{ext}")
+                            f"{self.problem_id}.{o.count:04d}{iddot}.{ext}")
+
+    def _expr_data(self, o: Output, s):
+        """Evaluate the expression and apply slice/average reduction."""
+        if o.usr_expr_flag:
+            expr = getattr(s.problem, "get_usr_expr", lambda n: None)(o.out)
+            if expr is None and o.out == "flux" and s.state.Eflux is not None:
+                q = np.asarray(s.state.Eflux)[..., :-1]
+            elif expr is not None:
+                q = np.asarray(expr(s.state, s.sim, s.grid))
+            else:
+                raise KeyError(f"user expression '{o.out}' not provided by "
+                               "the problem")
+        else:
+            q = formats.evaluate(o.out, s.state, s.sim, s.grid, s.problem)
+        return formats.reduce_data(q, s.grid, o.ranges)
 
     def _write(self, o: Output, s):
         state, sim, grid = s.state, s.sim, s.grid
+        is_dump = o.out in ("cons", "prim") and not o.usr_expr_flag
         if o.fmt == "hst":
             key = o.num
             if key not in self._hst:
@@ -82,21 +127,60 @@ class OutputSet:
                     os.path.join(self.outdir, f"{self.problem_id}.hst"),
                     sim, user)
             self._hst[key](state, grid)
+        elif o.fmt == "rst":
+            save_checkpoint(self._path(o, "rst.npz", with_id=False), state,
+                            sim, grid, s.par)
         elif o.fmt == "vtk":
-            if o.usr_expr_flag:
-                expr = getattr(s.problem, "get_usr_expr", lambda n: None)(
-                    o.out)
-                if expr is None and o.out == "flux" and \
-                        state.Eflux is not None:
-                    q = np.asarray(state.Eflux)[..., :-1]
-                else:
-                    q = np.asarray(expr(state, sim, grid))
+            if is_dump:
+                dump_vtk(state, sim, grid, self._path(o, "vtk",
+                                                      with_id=False), o.out)
+            else:
+                red = self._expr_data(o, s)
+                if red is None:
+                    return
+                if o.ranges:
+                    warnings.warn("vtk expression output ignores x1/x2/x3 "
+                                  "reduction (as output_vtk.c does only for "
+                                  "full 2D/3D data)")
+                q = red[0]
                 dump_vtk_expr(q, grid, self._path(o, "vtk"), o.out,
                               float(state.time))
+        elif o.fmt == "tab":
+            if is_dump:
+                formats.dump_tab(self._path(o, "tab", with_id=False), state,
+                                 sim, grid, out=o.out, dat_fmt=o.dat_fmt)
             else:
-                dump_vtk(state, sim, grid, self._path(o, "vtk"), o.out)
-        elif o.fmt == "rst":
-            save_checkpoint(self._path(o, "rst.npz"), state, sim, grid,
-                            s.par)
-        elif o.fmt in ("tab", "bin", "ppm", "pgm", "pdf"):
-            pass  # pending formats; hst/vtk/rst cover the validation decks
+                red = self._expr_data(o, s)
+                if red is None:
+                    return
+                formats.output_tab(self._path(o, "tab"), red[0], red[1],
+                                   dat_fmt=o.dat_fmt)
+        elif o.fmt == "bin":
+            formats.dump_binary(self._path(o, "bin", with_id=False), state,
+                                sim, grid,
+                                out=o.out if o.out == "prim" else "cons")
+        elif o.fmt in ("ppm", "pgm"):
+            red = self._expr_data(o, s)
+            if red is None:
+                return
+            q = red[0]
+            if q.ndim != 2:
+                raise ValueError(f"[output_{o.fmt}] data must be 2D; got "
+                                 f"{q.ndim}D — set x1/x2/x3 ranges "
+                                 f"(output_ppm.c:27)")
+            if o.fmt == "ppm":
+                o.gmin, o.gmax = formats.output_ppm(
+                    self._path(o, "ppm"), q, o.dmin, o.dmax, o.palette,
+                    o.gmin, o.gmax)
+            else:
+                o.gmin, o.gmax = formats.output_pgm(
+                    self._path(o, "pgm"), q, o.dmin, o.dmax, o.gmin, o.gmax)
+        elif o.fmt == "pdf":
+            red = self._expr_data(o, s)
+            if red is None:
+                return
+            formats.output_pdf(self._path(o, "prb"), red[0],
+                               float(state.time), o.out, dat_fmt=o.dat_fmt)
+        else:
+            warnings.warn(f"<output{o.num}> out_fmt={o.fmt} is not "
+                          "implemented; skipping")
