@@ -1,0 +1,308 @@
+"""Static-mesh-refinement simulation driver: the MeshS->DomainS hierarchy
+(reference: src/main.c main loop with SMR, src/init_mesh.c <domainN>
+parsing).
+
+A MeshSimulation holds one Simulation-like level state per <domainN> block
+(refinement ratio 2, one Domain per level — the linear chain used by the
+production deck tst/massloss/athinput.ioniz_sphere_hires).  Each cycle runs
+the reference's SMR ordering (main.c:519-669):
+
+  radiation (root sets tcoarse; fine levels integrate to it with the
+  parent's EdgeFlux as inlet)  ->  ionradRestrictCorrect  ->  hydro on
+  every level with the same dt  ->  RestrictCorrect (conserved restriction
+  + fine/coarse flux correction)  ->  Userwork  ->  new_dt (min over
+  levels, 2x growth clamp)  ->  bvals (root; children are fully interior
+  so every face is ProlongateLater)  ->  Prolongate (child ghost fill).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import bvals, smr
+from . import dt as dt_mod
+from .config import (GridConfig, SimConfig, grid_config_from_par,
+                     sim_config_from_par)
+from .defs import IEN
+from .models import get_problem
+from .par import ParameterDB
+from .state import State
+
+
+class Level:
+    def __init__(self, grid: GridConfig, state: State, problem,
+                 link: Optional[smr.ChildLink]):
+        self.grid = grid
+        self.state = state
+        self.problem = problem
+        self.link = link      # overlap with the parent (None for root)
+
+
+def grids_from_par(par: ParameterDB):
+    """Parse all <domainN> blocks -> [(level, GridConfig, disp)].
+    Child domain extents derive from the parent box + iDisp/jDisp/kDisp
+    (displacements in own-level cells, init_mesh.c)."""
+    doms = []
+    root = grid_config_from_par(par)   # domain1
+    doms.append((0, root, (0, 0, 0)))
+    n = 2
+    while par.exist(f"domain{n}", "level"):
+        blk = f"domain{n}"
+        lev = par.geti(blk, "level")
+        Nx = tuple(par.geti_def(blk, f"Nx{a + 1}", 1) for a in range(3))
+        disp = (par.geti_def(blk, "iDisp", 0),
+                par.geti_def(blk, "jDisp", 0),
+                par.geti_def(blk, "kDisp", 0))
+        parent = doms[lev - 1][1]
+        xmin, xmax = [], []
+        for a in range(3):
+            dxc = parent.dx[a] / 2.0
+            lo = parent.xmin[a] + disp[a] * dxc
+            xmin.append(lo)
+            xmax.append(lo + Nx[a] * dxc if parent.active(a)
+                        else parent.xmax[a])
+        doms.append((lev, GridConfig(Nx=Nx, xmin=tuple(xmin),
+                                     xmax=tuple(xmax), bc=parent.bc),
+                     disp))
+        n += 1
+    return doms
+
+
+class MeshSimulation:
+    """Multi-level SMR driver.  API mirrors Simulation (step/run/state)."""
+
+    def __init__(self, par: ParameterDB, sim: SimConfig,
+                 levels: List[Level]):
+        self.par = par
+        self.sim = sim
+        self.levels = levels
+        self.cour_no = par.getd_def("time", "cour_no", 0.8)
+        self.tlim = par.getd_def("time", "tlim", 1.0)
+        self.nlim = par.geti_def("time", "nlim", -1)
+        self._jit_step = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_par(cls, par: ParameterDB, problem=None, **overrides):
+        from .simulation import Simulation, parse_configure_line
+        auto = parse_configure_line(par)
+        problem = problem or auto.pop("_problem", None)
+        auto.pop("_problem", None)
+        prob_cls = get_problem(problem)
+        for k, v in getattr(prob_cls, "sim_overrides", {}).items():
+            auto.setdefault(k, v)
+        auto.update(overrides)
+        sim = sim_config_from_par(par, **auto)
+        doms = grids_from_par(par)
+        levels = []
+        for (lev, grid, disp) in doms:
+            prob = prob_cls(par, sim, grid)
+            st = prob.init(par, sim, grid)
+            link = None
+            if lev > 0:
+                link = smr.child_link(doms[lev - 1][1], grid, disp)
+            levels.append(Level(grid, st, prob, link))
+        # initial consistency: restrict fine -> coarse, fill BCs, prolong
+        for li in range(len(levels) - 1, 0, -1):
+            p, c = levels[li - 1], levels[li]
+            p.state = p.state.replace(U=smr.restrict_to_parent(
+                p.state.U, c.state.U, p.grid, c.grid, c.link))
+        levels[0].state = bvals.apply_bc(levels[0].state, levels[0].grid,
+                                         sim, levels[0].problem)
+        for li in range(1, len(levels)):
+            p, c = levels[li - 1], levels[li]
+            c.state = c.state.replace(U=smr.prolong_ghosts(
+                p.state.U, c.state.U, p.grid, c.grid, c.link))
+        dt0 = jnp.asarray(
+            min(float(dt_mod.new_dt(l.state, sim, l.grid,
+                                    par.getd_def("time", "cour_no", 0.8)))
+                for l in levels), levels[0].state.U.dtype)
+        for l in levels:
+            l.state = l.state.replace(dt=dt0)
+        return cls(par, sim, levels)
+
+    # ------------------------------------------------------------------
+    @property
+    def state(self):      # root-level view (time/dt/nstep live here)
+        return self.levels[0].state
+
+    def _build_step(self):
+        sim = self.sim
+        cour_no, tlim = self.cour_no, self.tlim
+        levels = self.levels
+        nlev = len(levels)
+        grids = [l.grid for l in levels]
+        probs = [l.problem for l in levels]
+        links = [l.link for l in levels]
+
+        ion = None
+        if sim.ion_radplane:
+            from .ionrad.config import ion_config_from_par
+            from .ionrad.driver import ion_radtransfer
+            ions = [ion_config_from_par(
+                self.par, g, radplanes=getattr(p, "radplanes", ()),
+                time_ramp=getattr(p, "time_ramp", True))
+                for g, p in zip(grids, probs)]
+            direction = ions[0].radplanes[0][0]
+
+        if sim.integrator != "ctu":
+            raise NotImplementedError("SMR driver uses the CTU integrator")
+        from .integrators import ctu3d
+
+        def step(states):
+            dt = states[0].dt
+            if tlim > 0:
+                dt = jnp.minimum(dt, jnp.maximum(tlim - states[0].time,
+                                                 0.0))
+            time = states[0].time
+
+            # --- radiation: root first (sets dt & tcoarse), then fine
+            # levels to tcoarse with the parent EdgeFlux inlet
+            # (main.c:541-556; ionrad_3d.c:836-852, 914-962)
+            if sim.ion_radplane:
+                states = [s.replace(dt=dt) for s in states]
+                s0, dt = ion_radtransfer(states[0], sim, grids[0],
+                                         ions[0], time, cour_no)
+                states[0] = s0
+                tcoarse = dt
+                for li in range(1, nlev):
+                    inlet = smr.child_inlet_flux(
+                        states[li - 1].Eflux, grids[li - 1], grids[li],
+                        links[li], direction)
+                    sl, _ = ion_radtransfer(states[li], sim, grids[li],
+                                            ions[li], time, cour_no,
+                                            inlet=inlet, tcoarse=tcoarse)
+                    states[li] = sl
+                # ionradRestrictCorrect: E and s0 fine -> coarse
+                iscal = 5 if sim.adiabatic else 4
+                for li in range(nlev - 1, 0, -1):
+                    states[li - 1] = states[li - 1].replace(
+                        U=smr.restrict_to_parent(
+                            states[li - 1].U, states[li].U, grids[li - 1],
+                            grids[li], links[li], nvars=[IEN, iscal]))
+
+            # --- hydro on every level with the same dt, saving fluxes
+            fluxes = []
+            new_states = []
+            for li in range(nlev):
+                snew, F = ctu3d.step(states[li], dt, sim, grids[li],
+                                     probs[li], return_fluxes=True)
+                new_states.append(snew)
+                fluxes.append(F)
+            states = new_states
+
+            # --- RestrictCorrect: conserved restriction + flux correction
+            for li in range(nlev - 1, 0, -1):
+                Up = smr.restrict_to_parent(
+                    states[li - 1].U, states[li].U, grids[li - 1],
+                    grids[li], links[li])
+                Up = smr.flux_correct(Up, fluxes[li - 1], fluxes[li],
+                                      grids[li - 1], grids[li], links[li],
+                                      dt)
+                states[li - 1] = states[li - 1].replace(U=Up)
+
+            # --- Userwork (prob/ioniz_sphere.c:255-306 core reset)
+            for li in range(nlev):
+                uw = getattr(probs[li], "userwork_in_loop", None)
+                if uw is not None:
+                    states[li] = uw(states[li], sim, grids[li])
+
+            # --- time/dt update: min over levels, 2x clamp
+            # (new_dt.c:32-198 loops all Grids)
+            dts = [dt_mod.new_dt(s.replace(dt=dt), sim, g, cour_no)
+                   for s, g in zip(states, grids)]
+            dt_next = dts[0]
+            for d2 in dts[1:]:
+                dt_next = jnp.minimum(dt_next, d2)
+
+            time = time + dt
+            states = [s.replace(time=time, dt=dt_next,
+                                nstep=states[0].nstep + 1)
+                      for s in states]
+
+            # --- boundary values (root physical BCs; children interior)
+            states[0] = bvals.apply_bc(states[0], grids[0], sim, probs[0])
+
+            # --- Prolongate: child ghost zones from the parent
+            for li in range(1, nlev):
+                states[li] = states[li].replace(U=smr.prolong_ghosts(
+                    states[li - 1].U, states[li].U, grids[li - 1],
+                    grids[li], links[li]))
+            return states
+
+        return jax.jit(step)
+
+    def step(self):
+        if self._jit_step is None:
+            self._jit_step = self._build_step()
+        new_states = self._jit_step([l.state for l in self.levels])
+        for l, s in zip(self.levels, new_states):
+            l.state = s
+
+    # ------------------------------------------------------------------
+    class _LevelView:
+        """Simulation-shaped view of one level for the output writers."""
+
+        def __init__(self, mesh, li):
+            l = mesh.levels[li]
+            self.par = mesh.par
+            self.sim = mesh.sim
+            self.grid = l.grid
+            self.state = l.state
+            self.problem = l.problem
+
+    def make_outputs(self, outdir: str = "."):
+        """Per-(level,domain) output sets, files under lev#/ with -lev#
+        problem_id suffixes like ath_fname (src/ath_files.c)."""
+        import os as _os
+        from .io.outputs import OutputSet
+        pid = self.par.gets_def("job", "problem_id", "out")
+        sets = []
+        for li in range(len(self.levels)):
+            d = outdir if li == 0 else _os.path.join(outdir, f"lev{li}")
+            p = pid if li == 0 else f"{pid}-lev{li}"
+            sets.append(OutputSet(self.par, d, problem_id=p))
+        mesh = self
+
+        def write(_sim_obj=None, force=False):
+            for li, outs in enumerate(sets):
+                outs(MeshSimulation._LevelView(mesh, li), force=force)
+        return write
+
+    def run(self, max_steps=None, verbose=False, output_fn=None,
+            outdir=None):
+        import time as _time
+
+        import numpy as _np
+        if output_fn is None and outdir is not None:
+            outs = self.make_outputs(outdir)
+            output_fn = lambda s: outs(s)
+        nlim = self.nlim if max_steps is None else max_steps
+        t0 = _time.perf_counter()
+        zones = sum(int(_np.prod(l.grid.Nx)) for l in self.levels)
+        steps0 = int(self.state.nstep)
+        while True:
+            tnow = float(self.state.time)
+            nstep = int(self.state.nstep)
+            if self.tlim > 0 and tnow >= self.tlim:
+                break
+            if nlim is not None and nlim >= 0 and nstep - steps0 >= nlim:
+                break
+            if output_fn is not None:
+                output_fn(self)
+            if verbose:
+                print(f"cycle={nstep} time={tnow:.6e} dt="
+                      f"{float(self.state.dt):.6e}")
+            self.step()
+        jax.block_until_ready(self.state.U)
+        wall = _time.perf_counter() - t0
+        nsteps = int(self.state.nstep) - steps0
+        if output_fn is not None:
+            output_fn(self)
+        zcps = zones * nsteps / wall if wall > 0 else float("nan")
+        if verbose:
+            print(f"zone-cycles/wall-second = {zcps:.3e}")
+        return dict(steps=nsteps, wall=wall, zone_cycles_per_sec=zcps)

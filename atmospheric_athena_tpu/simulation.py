@@ -86,6 +86,11 @@ class Simulation:
     @classmethod
     def from_par(cls, par: ParameterDB, problem: Optional[str] = None,
                  **sim_overrides) -> "Simulation":
+        # multi-<domainN> decks use the SMR hierarchy driver
+        if par.exist("domain2", "level"):
+            from .hierarchy import MeshSimulation
+            return MeshSimulation.from_par(par, problem=problem,
+                                           **sim_overrides)
         auto = parse_configure_line(par)
         problem = problem or auto.pop("_problem", None)
         auto.pop("_problem", None)
