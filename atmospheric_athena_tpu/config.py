@@ -44,6 +44,7 @@ class SimConfig:
     gamma: float = 5.0 / 3.0      # <problem>/gamma
     iso_csound: float = 1.0       # <problem>/iso_csound
     use_pallas: str = "auto"      # fused TPU kernels: auto | on | off
+    special_relativity: bool = False  # --enable-special-relativity
 
     def __post_init__(self):
         assert self.gas in ("hydro", "mhd"), self.gas

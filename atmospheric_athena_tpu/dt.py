@@ -20,6 +20,15 @@ from .state import State
 
 def max_dti(state: State, sim: SimConfig, grid: GridConfig):
     """Maximum inverse timestep over this grid's active cells."""
+    if sim.special_relativity:
+        # signal speeds bounded by c = 1 (new_dt.c:65-66)
+        dti = 0.0
+        for a in range(3):
+            if grid.active(a):
+                dti = max(dti, 1.0 / grid.dx[a])
+        import jax.numpy as _jnp
+        return _jnp.asarray(dti, state.U.dtype)
+
     sl = grid.interior()
     U = state.U[(slice(None),) + sl]
     di = 1.0 / U[ID]

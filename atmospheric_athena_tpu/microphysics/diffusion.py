@@ -29,7 +29,7 @@ def _shf(q, k, axis):
 
 
 def diff_dt(sim: SimConfig, grid: GridConfig, cour_no: float,
-            nu_iso=0.0, kappa_iso=0.0) -> float:
+            nu_iso=0.0, kappa_iso=0.0, eta_ohm=0.0) -> float:
     """Explicit-diffusion CFL (diff_dt.c)."""
     axes = [a for a in range(3) if grid.active(a)]
     dxmin = min(grid.dx[a] for a in axes)
@@ -39,6 +39,8 @@ def diff_dt(sim: SimConfig, grid: GridConfig, cour_no: float,
         dt = min(dt, qa / kappa_iso)
     if nu_iso > 0:
         dt = min(dt, qa / nu_iso)
+    if eta_ohm > 0:
+        dt = min(dt, qa / eta_ohm)
     return dt
 
 
@@ -105,10 +107,14 @@ def conduction_iso(state: State, dt, sim: SimConfig, grid: GridConfig,
 
 
 def integrate_diff(state: State, dt, sim: SimConfig, grid: GridConfig,
-                   nu_iso=0.0, kappa_iso=0.0, cooling_fn=None) -> State:
+                   nu_iso=0.0, kappa_iso=0.0, cooling_fn=None,
+                   eta_ohm=0.0) -> State:
     """Operator-split diffusion update (integrate_diff, main.c:530-539).
     Sub-cycling to the diffusion CFL is handled by the caller clamping the
     hydro dt (new_dt also bounded by diff_dt)."""
+    if eta_ohm > 0.0 and sim.mhd:
+        from .resistivity import resistivity
+        state = resistivity(state, dt, sim, grid, eta_ohm)
     if nu_iso > 0.0:
         state = viscosity_iso(state, dt, sim, grid, nu_iso)
     if kappa_iso > 0.0 and sim.adiabatic:

@@ -1,0 +1,97 @@
+"""Ohmic resistivity with constrained-transport EMF coupling.
+
+Reference: src/microphysics/resistivity.c —
+  current density J = curl(B) on cell edges from the interface fields
+  (:118-190), resistive EMF E = eta_Ohm·J with edge-averaged eta
+  (EField_Ohm, :427-492), Poynting energy fluxes on faces from
+  cell-centered-B x EMF averages (:239-296), then the CT update of the
+  interface fields from curl(EMF) and the conservative energy update
+  (:298-420).
+
+Operator-split explicit update (integrate_diffusion.c); the explicit
+stability limit dx^2/(2*ndim*eta) joins diff_dt.  Hall and ambipolar
+terms (EField_Hall/EField_AD) are still pending; eta is taken constant
+(the reference's get_eta.c single-fluid formulas reduce to constants for
+the regression decks).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import GridConfig, SimConfig
+from ..defs import IEN
+from ..state import State
+
+
+def _sh(q, k, axis):
+    """sh(q,k)[...,i] = q[...,i+k] along Athena axis (wrap; edge garbage
+    stays in ghosts)."""
+    return jnp.roll(q, -k, axis=2 - axis)
+
+
+def resistivity(state: State, dt, sim: SimConfig, grid: GridConfig,
+                eta_ohm: float) -> State:
+    """One explicit Ohmic-diffusion step of (B1i,B2i,B3i,Bcc,E)."""
+    assert sim.mhd, "resistivity requires MHD"
+    B1i, B2i, B3i = state.B1i, state.B2i, state.B3i
+    Bcc = state.Bcc
+    act = [grid.active(a) for a in range(3)]
+    dx = grid.dx
+
+    def d_dx(q, a):
+        return (q - _sh(q, -1, a)) / dx[a] if act[a] else jnp.zeros_like(q)
+
+    # edge currents (resistivity.c:118-190); J_a lives on the a-edge
+    Jx = d_dx(B3i, 1) - d_dx(B2i, 2)
+    Jy = d_dx(B1i, 2) - d_dx(B3i, 0)
+    Jz = d_dx(B2i, 0) - d_dx(B1i, 1)
+
+    # resistive EMF on edges; constant eta so the edge average is exact
+    ex = eta_ohm * Jx
+    ey = eta_ohm * Jy
+    ez = eta_ohm * Jz
+
+    U = state.U
+    if sim.adiabatic:
+        # Poynting fluxes on faces (:239-296): F_x on the x-face etc.
+        def av(q, a):      # 0.5*(q[i] + q[i-1]) along axis a
+            return 0.5 * (q + _sh(q, -1, a)) if act[a] else q
+
+        def av2(q, a):     # 0.5*(q[i] + q[i+1]) along axis a (edge pair)
+            return 0.5 * (q + _sh(q, 1, a)) if act[a] else q
+
+        Fx = av(Bcc[1], 0) * av2(ez, 1) - av(Bcc[2], 0) * av2(ey, 2)
+        Fy = av(Bcc[2], 1) * av2(ex, 2) - av(Bcc[0], 1) * av2(ez, 0)
+        Fz = av(Bcc[0], 2) * av2(ey, 0) - av(Bcc[1], 2) * av2(ex, 1)
+        dE = jnp.zeros_like(U[IEN])
+        for a, F in ((0, Fx), (1, Fy), (2, Fz)):
+            if act[a]:
+                dE = dE + dt / dx[a] * (_sh(F, 1, a) - F)
+        U = U.at[IEN].add(dE)
+
+    # CT update of the interface fields (:298-420): dB = -dt curl(E)
+    def diff(q, a):
+        return dt / dx[a] * (_sh(q, 1, a) - q) if act[a] \
+            else jnp.zeros_like(q)
+
+    B1i = B1i - diff(ez, 1) + diff(ey, 2)
+    B2i = B2i - diff(ex, 2) + diff(ez, 0)
+    B3i = B3i - diff(ey, 0) + diff(ex, 1)
+
+    # cell-centered field = face average (with upper face at index i+1)
+    def cc(Bi, a):
+        return 0.5 * (Bi + _sh(Bi, 1, a)) if act[a] else Bi
+
+    Bcc = jnp.stack([cc(B1i, 0), cc(B2i, 1), cc(B3i, 2)])
+
+    # splice active cells only; ghosts refreshed by bvals
+    sl = grid.interior()
+    out = state
+    out = out.replace(
+        U=state.U.at[(slice(None),) + sl].set(U[(slice(None),) + sl]),
+        B1i=state.B1i.at[sl].set(B1i[sl]),
+        B2i=state.B2i.at[sl].set(B2i[sl]),
+        B3i=state.B3i.at[sl].set(B3i[sl]),
+        Bcc=state.Bcc.at[(slice(None),) + sl].set(Bcc[(slice(None),) + sl]))
+    return out

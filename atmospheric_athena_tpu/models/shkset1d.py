@@ -48,8 +48,13 @@ class Shkset1D:
 
         Wl, Bxl = prim_side("l")
         Wr, Bxr = prim_side("r")
-        Ul = prim1d_to_cons1d(Wl, jnp.asarray(Bxl, dtype), sim)
-        Ur = prim1d_to_cons1d(Wr, jnp.asarray(Bxr, dtype), sim)
+        if sim.special_relativity:
+            from ..eos_sr import sr_prim1d_to_cons1d
+            Ul = sr_prim1d_to_cons1d(Wl, sim)
+            Ur = sr_prim1d_to_cons1d(Wr, sim)
+        else:
+            Ul = prim1d_to_cons1d(Wl, jnp.asarray(Bxl, dtype), sim)
+            Ur = prim1d_to_cons1d(Wr, jnp.asarray(Bxr, dtype), sim)
 
         shk_dir = par.geti("problem", "shk_dir")
         axis = shk_dir - 1

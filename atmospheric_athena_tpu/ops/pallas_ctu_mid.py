@@ -51,6 +51,16 @@ def _by_of(NY: int) -> int:
 
 
 def supported(grid: GridConfig) -> bool:
+    """Opt-in (ATHENA_TPU_PALLAS_MID=1): these kernels are numerically
+    validated (tests/test_pallas.py) and cut the remaining JAX-middle HBM
+    traffic, but their ~15-operand block pipelines currently take Mosaic
+    tens of minutes to compile on the remote TPU toolchain — unusable as a
+    default until the block-neighbor operands are restructured (fewer
+    operands via fused halo loads)."""
+    import os
+    if os.environ.get("ATHENA_TPU_PALLAS_MID", "0").lower() not in (
+            "1", "on", "true"):
+        return False
     NZ, NY, NX = grid.padded_shape()
     return _by_of(NY) > 0
 

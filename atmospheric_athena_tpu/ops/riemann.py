@@ -729,6 +729,14 @@ SOLVERS = {"roe": roe, "hlle": hlle, "hllc": hllc, "hlld": hlld,
 
 def fluxes(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
     """Uniform dispatch like the reference's single compiled fluxes()."""
+    if sim.special_relativity:
+        from . import riemann_sr
+        try:
+            solver = {"hlle": riemann_sr.hlle_sr,
+                      "hllc": riemann_sr.hllc_sr}[sim.flux]
+        except KeyError:
+            raise NotImplementedError(f"SR flux={sim.flux} not implemented")
+        return solver(Ul, Ur, Wl, Wr, Bxi, sim, etah=etah)
     try:
         solver = SOLVERS[sim.flux]
     except KeyError:

@@ -59,6 +59,8 @@ def parse_configure_line(par: ParameterDB) -> dict:
         key = m.group(1)
         if key == "h-correction":
             out["h_correction"] = True
+        elif key == "special-relativity":
+            out["special_relativity"] = True
         elif key == "ion-radiation":
             out["ion_radiation"] = True
         elif key == "ion-plane":
@@ -86,8 +88,10 @@ class Simulation:
     @classmethod
     def from_par(cls, par: ParameterDB, problem: Optional[str] = None,
                  **sim_overrides) -> "Simulation":
-        # multi-<domainN> decks use the SMR hierarchy driver
-        if par.exist("domain2", "level"):
+        # multi-<domainN> decks use the SMR hierarchy driver; <job>
+        # num_domains caps how many blocks are honored (init_mesh.c)
+        if (par.geti_def("job", "num_domains", 1) > 1
+                and par.exist("domain2", "level")):
             from .hierarchy import MeshSimulation
             return MeshSimulation.from_par(par, problem=problem,
                                            **sim_overrides)
@@ -128,9 +132,15 @@ class Simulation:
         ndim = grid.ndim
 
         if sim.integrator == "vl":
-            if ndim != 3:
-                raise NotImplementedError("1D/2D VL pending")
-            from .integrators import vl3d as integ
+            if ndim == 3:
+                if sim.special_relativity:
+                    raise NotImplementedError("3D VL-SR pending")
+                from .integrators import vl3d as integ
+            else:
+                from .integrators import vl_lowd as integ
+        elif sim.special_relativity:
+            raise NotImplementedError(
+                "SR requires the VL integrator (integrate_3d_ctu.c:51-53)")
         elif ndim == 1:
             from .integrators import ctu1d as integ
         elif sim.mhd:
@@ -149,11 +159,14 @@ class Simulation:
         # problem-enrolled nu/kappa)
         nu_iso = self.par.getd_def("problem", "nu_iso", 0.0)
         kappa_iso = self.par.getd_def("problem", "kappa_iso", 0.0)
+        eta_ohm = self.par.getd_def("problem", "eta_O", 0.0)
         cooling_fn = getattr(problem, "cooling_fn", None)
-        has_diff = nu_iso > 0.0 or kappa_iso > 0.0 or cooling_fn is not None
+        has_diff = (nu_iso > 0.0 or kappa_iso > 0.0 or eta_ohm > 0.0
+                    or cooling_fn is not None)
         if has_diff:
             from .microphysics import diff_dt as diff_dt_fn, integrate_diff
-            dt_diff = diff_dt_fn(sim, grid, cour_no, nu_iso, kappa_iso)
+            dt_diff = diff_dt_fn(sim, grid, cour_no, nu_iso, kappa_iso,
+                                 eta_ohm)
 
         selfg_pars = None
         if sim.self_gravity:
@@ -182,7 +195,8 @@ class Simulation:
             if has_diff:
                 dt = jnp.minimum(dt, dt_diff)
                 state = integrate_diff(state, dt, sim, grid, nu_iso,
-                                       kappa_iso, cooling_fn)
+                                       kappa_iso, cooling_fn,
+                                       eta_ohm=eta_ohm)
                 state = bvals.apply_bc(state, grid, sim, problem)
 
             # radiation BEFORE hydro — it may shrink dt (main.c:541-556;
@@ -197,13 +211,26 @@ class Simulation:
                 # Phi from rho at t^n (the reference solves at the end of
                 # the previous cycle, main.c:603-613 — same potential)
                 phi_sg = phi_padded(state, sim, grid, *selfg_pars)
-                state = integ.step(state, dt, sim, grid, problem,
-                                   phi_sg=phi_sg, selfg_pars=selfg_pars)
+                state, fluxes = integ.step(state, dt, sim, grid, problem,
+                                           phi_sg=phi_sg,
+                                           selfg_pars=selfg_pars,
+                                           return_fluxes=True)
             else:
                 state = integ.step(state, dt, sim, grid, problem)
 
             if userwork is not None:
                 state = userwork(state, sim, grid)
+
+            if selfg_pars is not None:
+                # new Phi from the updated rho + the 2nd-order old/new-Phi
+                # flux correction (main.c:603-613 -> selfg.c:selfg_fc)
+                from .gravity.selfg import selfg_fc
+                phi_new = phi_padded(state, sim, grid, *selfg_pars)
+                mflux = {a: F[0] for a, F in fluxes.items()}
+                U = selfg_fc(state.U, phi_new, phi_sg, mflux, dt, sim,
+                             grid, *selfg_pars)
+                sl = (slice(None),) + grid.interior()
+                state = state.replace(U=state.U.at[sl].set(U[sl]))
 
             state = state.replace(time=state.time + dt,
                                   nstep=state.nstep + 1,

@@ -102,3 +102,38 @@ def test_conduction_decay_operator():
     amp0 = float(np.abs(np.asarray(dP)).max()) / (gamma - 1.0)
     expected = math.exp(-chi * k * k * t)
     assert amp1 / amp0 == pytest.approx(expected, rel=0.05)
+
+
+def test_ohmic_resistivity_decay_rate():
+    """Ohmic decay of B2 = B0 sin(kx): dB/dt = eta d2B/dx2, so the
+    discrete decay factor per step is (1 - dt*eta*k_eff^2) with
+    k_eff^2 = (2 - 2 cos(k dx))/dx^2 (resistivity.c Ohmic path)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from atmospheric_athena_tpu import state as state_mod
+    from atmospheric_athena_tpu.config import GridConfig, SimConfig
+    from atmospheric_athena_tpu.microphysics.resistivity import resistivity
+
+    sim = SimConfig(gas="mhd", nscalars=0)
+    N = 64
+    grid = GridConfig(Nx=(N, 1, 1), xmin=(0, 0, 0), xmax=(1, 1, 1))
+    st = state_mod.zeros(sim, grid)
+    x_f = np.asarray(grid.fc_coords(0))[:grid.padded_shape()[2]]
+    k = 2 * np.pi
+    B0 = 1e-3
+    B2i = jnp.asarray(B0 * np.sin(k * x_f))
+    B2c = 0.5 * (B2i + jnp.roll(B2i, -1))
+    st = st.replace(U=st.U.at[0].set(1.0).at[4].set(1.0),
+                    B2i=jnp.broadcast_to(B2i, grid.padded_shape()),
+                    Bcc=st.Bcc.at[1].set(B2c))
+    eta, dt = 0.01, 1e-4
+    out = resistivity(st, dt, sim, grid, eta)
+    sl = grid.interior()
+    b_old = np.asarray(st.B2i[sl])
+    b_new = np.asarray(out.B2i[sl])
+    mask = np.abs(b_old) > 1e-6   # skip the sin nodes (0/0)
+    ratio = b_new[mask] / b_old[mask]
+    dx = grid.dx[0]
+    keff2 = (2 - 2 * np.cos(k * dx)) / dx ** 2
+    expected = 1 - dt * eta * keff2
+    np.testing.assert_allclose(ratio, expected, rtol=1e-8)

@@ -97,3 +97,30 @@ def test_jeans_unstable_growth():
     amp1 = np.abs(np.asarray(s.state.U[0])[s.grid.interior()] - 1.0).max()
     # after 2 e-folding times the perturbation should have grown ~e^2
     assert amp1 / amp0 > 3.0, (amp0, amp1)
+
+
+def test_open_bc_point_mass():
+    """solve_phi_obc: an isolated point mass gives Phi ~ -G m / r away
+    from the source (open boundaries — no periodic images)."""
+    import numpy as np
+    from atmospheric_athena_tpu.config import GridConfig
+    from atmospheric_athena_tpu.gravity.selfg import solve_phi_obc
+
+    N = 32
+    grid = GridConfig(Nx=(N, N, N), xmin=(-0.5,) * 3, xmax=(0.5,) * 3)
+    four_pi_G = 4 * np.pi
+    d = np.zeros((N, N, N))
+    dx = 1.0 / N
+    m = 1.0
+    d[N // 2, N // 2, N // 2] = m / dx ** 3
+    phi = np.asarray(solve_phi_obc(jnp.asarray(d), grid, four_pi_G))
+    # sample along +x at r = 8 dx and 12 dx: Phi = -G m/r, G = 1
+    c = N // 2
+    for off in (8, 12):
+        r = off * dx
+        got = phi[c, c, c + off]
+        np.testing.assert_allclose(got, -m / r, rtol=2e-2)
+    # far-corner anisotropy is small (no periodic image contamination)
+    r_corner = np.sqrt(3) * (N // 2 - 1) * dx
+    got = phi[1, 1, 1]
+    np.testing.assert_allclose(got, -m / r_corner, rtol=5e-2)

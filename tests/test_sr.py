@@ -1,0 +1,64 @@
+"""Special-relativistic hydro vs the reference C build.
+
+Golden from /root/reference configured with --with-problem=shkset1d
+--with-gas=hydro --enable-special-relativity --with-integrator=vl
+--with-flux=hllc --with-order=2p, run on tst/1D-sr-hydro/athinput.mb1
+(Mignone & Bodo 2005 problem 1, v=0.9 shock tube) for 50 cycles.
+Exercises the SR Cons<->Prim analytic quartic inversion
+(convert_var.c:504-590), the SR HLLC solver (hllc_sr.c), and the VL-SR
+integrator (integrate_1d_vl_sr.c).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from atmospheric_athena_tpu import ParameterDB, Simulation
+from atmospheric_athena_tpu.config import SimConfig
+from atmospheric_athena_tpu.eos_sr import (sr_cons1d_to_prim1d,
+                                           sr_prim1d_to_cons1d)
+
+HERE = os.path.dirname(__file__)
+GOLD = os.path.join(HERE, "golden")
+MB1 = "/root/reference/tst/1D-sr-hydro/athinput.mb1"
+
+
+def test_sr_eos_roundtrip():
+    sim = SimConfig(special_relativity=True, integrator="vl", order="2p",
+                    flux="hllc")
+    rng = np.random.default_rng(7)
+    d = rng.uniform(0.1, 10.0, 256)
+    v = rng.uniform(-0.6, 0.6, (3, 256))
+    v *= 0.9 / np.maximum(1.0, np.sqrt((v ** 2).sum(0)))[None]
+    P = rng.uniform(0.01, 100.0, 256)
+    W = np.stack([d, v[0], v[1], v[2], P])
+    U = np.asarray(sr_prim1d_to_cons1d(W, sim))
+    W2 = np.asarray(sr_cons1d_to_prim1d(U, sim))
+    np.testing.assert_allclose(W2, W, rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.slow
+def test_sr_mb1_matches_reference():
+    gold = np.load(os.path.join(GOLD, "sr_mb1_50cycles.npz"))
+    s = Simulation.from_file(MB1, problem="shkset1d",
+                             flux="hllc", order="2p")
+    assert s.sim.special_relativity and s.sim.integrator == "vl"
+    traj = gold["traj"]
+    for i in range(50):
+        s.step()
+        assert float(s.state.time) == pytest.approx(traj[i][0],
+                                                    rel=1e-6), i
+
+    # compare primitives on active cells vs the reference prim tab.
+    # agreement is ~2e-5 of scale, confined to the few cells at the wave
+    # fronts after 50 cycles (solver branch selections flip on last-ulp
+    # differences there); the smooth regions match far tighter.
+    from atmospheric_athena_tpu.eos_sr import sr_cons1d_to_prim1d as c2p
+    U = np.asarray(s.state.U)[(slice(None),) + s.grid.interior()]
+    W = np.asarray(c2p(U.reshape(5, -1), s.sim))
+    ref = gold["prim"]   # cols: i x1 d V1 V2 V3 P
+    for col, k, n in [(2, 0, "d"), (3, 1, "V1"), (6, 4, "P")]:
+        scale = np.abs(ref[:, col]).max()
+        np.testing.assert_allclose(W[k], ref[:, col], rtol=0,
+                                   atol=5e-5 * scale, err_msg=n)
