@@ -74,11 +74,27 @@ def main(argv=None):
         h, m, sec = (int(x) for x in args.wall_limit.split(":"))
         wall_limit = h * 3600 + m * 60 + sec
 
+    # POSIX signal handling (src/ath_signal.c, checked each cycle at
+    # main.c:657): a scheduler SIGTERM triggers a graceful stop with a
+    # final forced dump instead of losing the run.
+    import signal as _signal
+    caught = {"sig": 0}
+
+    def _sig_handler(signum, frame):
+        caught["sig"] = signum
+    for _s in (_signal.SIGTERM, _signal.SIGUSR1):
+        try:
+            _signal.signal(_s, _sig_handler)
+        except (ValueError, OSError):
+            pass
+
     outs = s.make_outputs(args.outdir)
     t0 = _time.perf_counter()
 
     def output_fn(sim_obj):
         outs(sim_obj)
+        if caught["sig"]:
+            raise KeyboardInterrupt(f"caught signal {caught['sig']}")
         if wall_limit and _time.perf_counter() - t0 > wall_limit:
             raise KeyboardInterrupt("wall-time limit reached")
 

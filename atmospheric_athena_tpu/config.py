@@ -51,6 +51,14 @@ class SimConfig:
         assert self.eos in ("adiabatic", "isothermal"), self.eos
         assert self.order in ("1", "2", "3", "2p", "3p"), self.order
         assert self.integrator in ("ctu", "vl"), self.integrator
+        if self.special_relativity:
+            # SR has no Roe solver; decks without an explicit --with-flux
+            # get the SR default (configure remaps this too).  SR also
+            # requires primitive-variable reconstruction.
+            if self.flux == "roe":
+                object.__setattr__(self, "flux", "hllc")
+            if self.order in ("2", "3"):
+                object.__setattr__(self, "order", self.order + "p")
         if self.ion_radplane and self.nscalars < 1:
             raise ValueError("ion radiation requires nscalars >= 1 "
                              "(neutral density is U.s[0]; ionrad_3d.c:82-85)")
