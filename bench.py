@@ -65,7 +65,13 @@ def main():
     print(json.dumps({
         "metric": "zone_cycles_per_second",
         "value": zcps,
-        "unit": "zone-cycles/s/chip (ioniz_sphere %d^3 f32, full step)" % N,
+        # the radiation sub-cycle is capped at maxiter=50 per step for a
+        # bounded workload; the production deck allows 10000 and the early
+        # ioniz_sphere steps genuinely use them (measured: the unclamped
+        # sub-cycle runs ~10000 iterations/step from t=0), so per-iteration
+        # radiation cost dominates production wall time.
+        "unit": "zone-cycles/s/chip (ioniz_sphere %d^3 f32, full step, "
+                "ionrad maxiter=50)" % N,
         "vs_baseline": zcps / REF_BASELINE,
     }))
 
