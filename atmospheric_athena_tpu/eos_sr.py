@@ -13,6 +13,7 @@ units with c = 1.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .config import SimConfig
@@ -78,3 +79,233 @@ def sr_cons1d_to_prim1d(U, sim: SimConfig):
     Vz = Mz * vOverM
     P = g1 * ((E - Mx * Vx - My * Vy - Mz * Vz) - d)
     return jnp.stack([d, Vx, Vy, Vz, P])
+
+
+# ===========================================================================
+# SR MHD (convert_var.c SPECIAL_RELATIVITY && MHD sections)
+#
+# Conventions: stacked 1D-slice arrays in sweep order
+#   W = (d, Vx, Vy, Vz, P, By, Bz), U = (D, Mx, My, Mz, E, By, Bz);
+# Bx passed separately (cell- or interface-centered by the caller).
+# ===========================================================================
+
+
+def sr_mhd_prim1d_to_cons1d(W, Bx, sim: SimConfig):
+    """Prim1D_to_Cons1D with MHD terms (convert_var.c:957-991)."""
+    d, Vx, Vy, Vz, P, By, Bz = (W[i] for i in range(7))
+    vsq = Vx ** 2 + Vy ** 2 + Vz ** 2
+    U0 = 1.0 / (1.0 - vsq)
+    Bsq = Bx ** 2 + By ** 2 + Bz ** 2
+    vDotB = Bx * Vx + By * Vy + Bz * Vz
+    wU0sq = (d + sim.gamma / sim.gamma_1 * P) * U0
+    Mx = wU0sq * Vx + Bsq * Vx - vDotB * Bx
+    My = wU0sq * Vy + Bsq * Vy - vDotB * By
+    Mz = wU0sq * Vz + Bsq * Vz - vDotB * Bz
+    E = wU0sq - P + (1.0 + vsq) * Bsq / 2.0 - vDotB ** 2 / 2.0
+    return jnp.stack([jnp.sqrt(U0) * d, Mx, My, Mz, E, By, Bz])
+
+
+def _nr_scalars(d, Bsq, Msq, Ssq, Q, g1overg):
+    """calc_vsq + calc_chi + derived rho/pgas (convert_var.c:1270-1290)."""
+    Qsq = Q * Q
+    scrh1 = Q + Bsq
+    Vsq = (Msq + Ssq / Qsq * (scrh1 + Q)) / (scrh1 * scrh1)
+    Gsq = 1.0 / (1.0 - Vsq)
+    G = jnp.sqrt(jnp.abs(Gsq))
+    Chi = (Q - d * G) * (1.0 - Vsq)
+    rho = d / G
+    pgas = g1overg * Chi
+    return Vsq, Gsq, G, Chi, rho, pgas
+
+
+def _nr_f_df(Q, E, d, Bsq, Msq, Ssq, sim: SimConfig):
+    """calc_func + calc_dfunc (convert_var.c:1183-1231)."""
+    g1overg = sim.gamma_1 / sim.gamma
+    Vsq, Gsq, G, Chi, rho, pgas = _nr_scalars(d, Bsq, Msq, Ssq, Q, g1overg)
+    fQ = Q - pgas + 0.5 * (1.0 + Vsq) * Bsq - (0.5 * Ssq / Q / Q) - E
+
+    Qth = Q * Q * Q
+    scrh1 = Q + Bsq
+    dVsq_dQ = (Ssq * (3.0 * Q * scrh1 + Bsq * Bsq) + Msq * Qth) * \
+        (-2.0 / Qth / (scrh1 * scrh1 * scrh1))
+    dchi_dQ = 1.0 - Vsq - 0.5 * G * (d + 2.0 * Chi * G) * dVsq_dQ
+    dp_dQ = g1overg * dchi_dQ
+    dfQ = 1.0 - dp_dQ + 0.5 * Bsq * dVsq_dQ + Ssq / Qth
+    return fQ, dfQ, Vsq, rho, pgas
+
+
+def _sr_mhd_newton(U, Bx, sim: SimConfig, maxiter):
+    """The shared Newton-Raphson on the total enthalpy Q = rho h Gamma^2
+    (Cons1D_to_Prim1D / check_Prim1D, convert_var.c:613-707, :818-910).
+    Returns (Q, converged, Vsq, rho, pgas, S, Bsq) with `converged` the
+    nr_success==1 condition (NaN paths collapse to non-converged)."""
+    D, Mx, My, Mz, E = U[0], U[1], U[2], U[3], U[4]
+    By, Bz = U[5], U[6]
+    Bsq = Bx ** 2 + By ** 2 + Bz ** 2
+    Msq = Mx ** 2 + My ** 2 + Mz ** 2
+    S = Mx * Bx + My * By + Mz * Bz
+    Ssq = S ** 2
+    d = D
+
+    # initial guess: +ve root of Mignone & McKinney eqn A27 (:639-648)
+    scrh1 = -4.0 * (E - Bsq)
+    scrh2 = Msq - 2.0 * E * Bsq + Bsq * Bsq
+    Q0 = (-scrh1 + jnp.sqrt(jnp.abs(scrh1 * scrh1 - 12.0 * scrh2))) / 6.0
+    Q0 = jnp.where(Q0 < 0.0, d, Q0)
+    bad0 = jnp.isnan(Q0)
+
+    # the reference's tol=1e-10 (convert_var.c:91) presumes double; in f32
+    # that is below machine eps, so scale it to the dtype
+    tol = 1.0e-10 if U.dtype == jnp.float64 else 3.0e-6
+
+    # The reference loop body checks convergence at the TOP, then still
+    # performs one more f/df evaluation and Q update before exiting
+    # (convert_var.c:654-707); a NaN in that final evaluation overrides the
+    # success flag.  Mirrored exactly: `succ`/`fail` freeze a cell, and the
+    # iteration where conv is first seen still updates Q.
+    def body(carry):
+        Q, dQstep, it, succ, fail = carry
+        active = ~succ & ~fail
+        conv = jnp.abs(dQstep) <= tol
+
+        fQ, dfQ, Vsq, rho, pgas = _nr_f_df(Q, E, d, Bsq, Msq, Ssq, sim)
+        nan_hit = jnp.isnan(Vsq) | jnp.isnan(fQ) | jnp.isnan(dfQ)
+
+        # close-to-solution overshoot guard on the first iteration
+        # (:683-693): Q *= 10 and re-evaluate
+        first_close = (it == 0) & (jnp.abs(fQ) < 0.1)
+        Q10 = Q * 10.0
+        fQ2, dfQ2, _, _, _ = _nr_f_df(Q10, E, d, Bsq, Msq, Ssq, sim)
+        Q = jnp.where(first_close, Q10, Q)
+        fQ = jnp.where(first_close, fQ2, fQ)
+        dfQ = jnp.where(first_close, dfQ2, dfQ)
+
+        dstep = fQ / dfQ
+        nan_hit = nan_hit | jnp.isnan(dstep)
+        Qn = Q - dstep
+        nan_hit = nan_hit | jnp.isnan(Qn)
+
+        Qout = jnp.where(active, Qn, Q)
+        dso = jnp.where(active, dstep, dQstep)
+        succ_o = succ | (active & conv & ~nan_hit)
+        fail_o = fail | (active & nan_hit)
+        return (Qout, dso, it + 1, succ_o, fail_o)
+
+    def cond(carry):
+        _, _, it, succ, fail = carry
+        return (it < maxiter) & ~jnp.all(succ | fail)
+
+    ones = jnp.ones_like(Q0)
+    init = (Q0, ones, jnp.zeros((), jnp.int32),
+            jnp.zeros_like(bad0), bad0)
+    Q, dQstep, _, succ, fail = jax.lax.while_loop(cond, body, init)
+    converged = succ & ~fail
+    Vsq, Gsq, G, Chi, rho, pgas = _nr_scalars(
+        d, Bsq, Msq, Ssq, Q, sim.gamma_1 / sim.gamma)
+    return Q, converged, Vsq, rho, pgas, S, Bsq
+
+
+def sr_mhd_cons1d_to_prim1d(U, Bx, sim: SimConfig):
+    """Cons1D_to_Prim1D SR-MHD (convert_var.c:613-800): Noble-style 1D NR
+    on Q with the reference's four outcome branches."""
+    Q, converged, Vsq, rho, pgas, S, Bsq = _sr_mhd_newton(U, Bx, sim, 100)
+    tmp1 = 1.0 / Q
+    tmp2 = 1.0 / (Q + Bsq)
+    Vx = (U[1] + S * Bx * tmp1) * tmp2
+    Vy = (U[2] + S * U[5] * tmp1) * tmp2
+    Vz = (U[3] + S * U[6] * tmp1) * tmp2
+
+    neg_p = converged & (pgas < 0.0)
+    sup_v = converged & (pgas >= 0.0) & (Vsq > 1.0)
+    neg_v = converged & (pgas >= 0.0) & (Vsq <= 1.0) & (Vsq < 0.0)
+    good = converged & (pgas >= 0.0) & (Vsq <= 1.0) & (Vsq >= 0.0)
+
+    # nr_success==3: rescale v by 0.9999/|v|^2 then recompute rho/p (:739-763)
+    scrh = Vx ** 2 + Vy ** 2 + Vz ** 2
+    Vx3 = Vx * 0.9999 / scrh
+    Vy3 = Vy * 0.9999 / scrh
+    Vz3 = Vz * 0.9999 / scrh
+    Vsq3 = Vx3 ** 2 + Vy3 ** 2 + Vz3 ** 2
+    G3 = jnp.sqrt(jnp.abs(1.0 / (1.0 - Vsq3)))
+    Chi3 = (Q - U[0] * G3) * (1.0 - Vsq3)
+    rho3 = U[0] / G3
+    p3 = sim.gamma_1 / sim.gamma * Chi3
+
+    d_out = jnp.where(good | neg_p, jnp.maximum(rho, 1.0e-4),
+                      jnp.where(sup_v, jnp.maximum(rho3, 1.0e-4),
+                                jnp.where(neg_v, -1.0, -2.0)))
+    P_out = jnp.where(good | neg_p, jnp.maximum(pgas, 1.0e-5),
+                      jnp.where(sup_v, jnp.maximum(p3, 1.0e-5),
+                                jnp.where(neg_v, 1.0, 2.0)))
+    Vx_o = jnp.where(good | neg_p, Vx,
+                     jnp.where(sup_v, Vx3, jnp.where(neg_v, 1.0, 2.0)))
+    Vy_o = jnp.where(good | neg_p, Vy,
+                     jnp.where(sup_v, Vy3, jnp.where(neg_v, 1.0, 2.0)))
+    Vz_o = jnp.where(good | neg_p, Vz,
+                     jnp.where(sup_v, Vz3, jnp.where(neg_v, 1.0, 2.0)))
+    return jnp.stack([d_out, Vx_o, Vy_o, Vz_o, P_out, U[5], U[6]])
+
+
+def sr_mhd_check_prim1d(U, Bx, sim: SimConfig):
+    """check_Prim1D (convert_var.c:818-944): same NR, but failures return
+    d = P = -1 (the caller tests those signs)."""
+    Q, converged, Vsq, rho, pgas, S, Bsq = _sr_mhd_newton(U, Bx, sim, 1000)
+    tmp1 = 1.0 / Q
+    tmp2 = 1.0 / (Q + Bsq)
+    Vx = (U[1] + S * Bx * tmp1) * tmp2
+    Vy = (U[2] + S * U[5] * tmp1) * tmp2
+    Vz = (U[3] + S * U[6] * tmp1) * tmp2
+    one = jnp.ones_like(rho)
+    return jnp.stack([jnp.where(converged, rho, -one),
+                      jnp.where(converged, Vx, one),
+                      jnp.where(converged, Vy, one),
+                      jnp.where(converged, Vz, one),
+                      jnp.where(converged, pgas, -one),
+                      U[5], U[6]])
+
+
+def sr_mhd_vsq1d_fix(U, Bx, sim: SimConfig):
+    """vsq1D_fix (convert_var.c:1130-1177): replace the cell with a floor
+    state (d=1, p=0.1) whose E is chosen so the secant iteration on v^2
+    closes, then re-invert."""
+    By, Bz = U[5], U[6]
+    Bsq = Bx ** 2 + By ** 2 + Bz ** 2
+    Msq = U[1] ** 2 + U[2] ** 2 + U[3] ** 2
+    S = U[1] * Bx + U[2] * By + U[3] * Bz
+    Ssq = S ** 2
+    d = jnp.ones_like(U[0])
+    p = jnp.full_like(U[0], 1.0e-1)
+
+    def funv2(v2):
+        lor2 = 1.0 / (1.0 - v2)
+        lor = jnp.sqrt(lor2)
+        pg = p * lor
+        W = (d + pg * sim.gamma / sim.gamma_1) * lor
+        f = (Ssq * (2.0 * W + Bsq) + Msq * W * W) / \
+            ((W + Bsq) ** 2 * W * W) - v2
+        return W, f
+
+    v2max = 1.0 - 1.0e-8
+    v2c = jnp.full_like(U[0], 0.95)
+    _, fc = funv2(v2c)
+    v2 = jnp.full_like(U[0], 0.96)
+
+    def body(k, carry):
+        v2, v2c, fc, done, W = carry
+        Wn, f = funv2(v2)
+        dW = (v2 - v2c) / (f - fc) * f
+        v2n = jnp.clip(v2 - dW, 0.0, v2max)
+        newly_done = (jnp.abs(v2n) < 1.0e-9) | (jnp.abs(f) < 1.0e-9)
+        v2o = jnp.where(done, v2, v2n)
+        return (v2o, jnp.where(done, v2c, v2),
+                jnp.where(done, fc, f), done | newly_done,
+                jnp.where(done, W, Wn))
+
+    W0 = jnp.zeros_like(U[0])
+    v2, _, _, _, _ = jax.lax.fori_loop(
+        0, 99, body, (v2, v2c, fc, jnp.zeros_like(U[0], bool), W0))
+    W, _ = funv2(v2)   # FUNV2 re-evaluated at the final v2 (:1152-1154)
+    Ufix = jnp.stack([d, U[1], U[2], U[3],
+                      W - p + 0.5 * (1.0 + v2) * Bsq - 0.5 * Ssq / (W * W),
+                      By, Bz])
+    return sr_mhd_cons1d_to_prim1d(Ufix, Bx, sim)

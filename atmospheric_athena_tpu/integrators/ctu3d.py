@@ -153,10 +153,13 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     # (integrate_3d_ctu.c:971-1065 and cyclic counterparts; in physical
     # order each component receives its own transverse flux difference)
     Ulc, Urc = {}, {}
+    etaP = {}
     if use_pallas_mid:
+        G = (pallas_ctu_mid.gcross(U, phic, phif, Fp, q, axes)
+             if phic is not None else None)
         for a in axes:
-            Ulc[a], Urc[a] = pallas_ctu_mid.transverse_correct(
-                Ulp[a], Urp[a], Fp, U, phic, phif, q, sim, grid, a, axes)
+            Ulc[a], Urc[a], etaP[a] = pallas_ctu_mid.transverse_correct(
+                Ulp[a], Urp[a], Fp, G, q, sim, grid, a, axes)
         dF = None
     else:
         dF = {b: _sh(Fp[b], 1, b) - Fp[b] for b in axes}
@@ -213,8 +216,16 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             dhalf = dhalf - q[a] * dFID
 
     # === STEP 9: H-correction etas + final fluxes ===========================
+    if use_pallas_mid:
+        etaS = (jnp.stack([etaP[a] for a in axes])
+                if sim.h_correction else None)
+        Fp2 = {a: pallas_ctu_mid.flux_corrected(Ulc[a], Urc[a], etaS, sim,
+                                                grid, a, axes)
+               for a in axes}
+    else:
+        Fp2 = {}
     etas = {}
-    if sim.h_correction:
+    if sim.h_correction and not use_pallas_mid:
         for a in axes:
             cfl = _cfast_cons(Ulc[a], a, sim)
             cfr = _cfast_cons(Urc[a], a, sim)
@@ -222,8 +233,7 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             lam_l = Ulc[a][IM1 + a] / Ulc[a][ID] - cfl
             etas[a] = 0.5 * jnp.abs(lam_r - lam_l)
 
-    Fp2 = {}
-    for a in axes:
+    for a in axes if not use_pallas_mid else ():
         etah = None
         if sim.h_correction:
             # (integrate_3d_ctu.c:2352-2365 pattern, generalized per axis)
@@ -249,8 +259,11 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     # === STEPS 11-12 fused (pallas): gravity source + flux-difference
     # update + interior splice in one kernel
     if use_pallas_mid:
-        Uout = pallas_ctu_mid.final_update(U, Fp2, dhalf, phic, phif,
-                                           dtodx, sim, grid, axes)
+        Sg = (pallas_ctu_mid.grav_source(Fp2, dhalf, phic, phif, dtodx,
+                                         axes)
+              if phic is not None else None)
+        Uout = pallas_ctu_mid.final_update(U, Fp2, Sg, dtodx, sim, grid,
+                                           axes)
         out = state.replace(U=Uout)
         return (out, Fp2) if return_fluxes else out
 

@@ -29,8 +29,93 @@ from .ctu3d import _phi_arrays, _sh, _shf
 from .sweep import vperm_from_sweep, vperm_to_sweep
 
 
+def step_sr_mhd_1d(state: State, dt, sim: SimConfig, grid: GridConfig,
+                   problem=None):
+    """1D VL for SR MHD (integrate_1d_vl_sr.c with MHD, FOFC off).
+
+    In 1D the normal field is constant (B1i untouched); By/Bz evolve as
+    conserved variables through the solver's induction-equation fluxes, and
+    the interface fields are set to the cell-centered values at the end
+    (integrate_1d_vl_sr.c:350-356).  Sweep stacks are the 7-variable
+    (d, Mx, My, Mz, E, By, Bz) layout with Bx passed separately.
+    """
+    from ..eos_sr import (sr_mhd_cons1d_to_prim1d, sr_mhd_prim1d_to_cons1d)
+    axes = [a for a in range(3) if grid.active(a)]
+    assert len(axes) == 1, "SR MHD supported in 1D only (pending 2D/3D CT)"
+    assert sim.nscalars == 0, "scalars pending in SR MHD"
+    a = axes[0]
+    a1, a2 = (a + 1) % 3, (a + 2) % 3
+    dtodx = dt / grid.dx[a]
+    hq = 0.5 * dtodx
+
+    U = state.U
+    Bcc = state.Bcc
+    Bi = [state.B1i, state.B2i, state.B3i]
+    ib = 5 if sim.adiabatic else 4
+
+    # step 1a-1b: W from U, then U regenerated from W for consistency
+    # (integrate_1d_vl_sr.c:93-129)
+    U1d0 = vperm_to_sweep(U, a, sim)
+    U1d0 = jnp.concatenate([U1d0[:ib], Bcc[a1][None], Bcc[a2][None]], 0)
+    Bxc = Bcc[a]
+    Bxi = Bi[a]
+    W1d = sr_mhd_cons1d_to_prim1d(U1d0, Bxc, sim)
+    U1d = sr_mhd_prim1d_to_cons1d(W1d, Bxc, sim)
+
+    # step 1d: first-order fluxes
+    Wl = _sh(W1d, -1, a)
+    Ul = _sh(U1d, -1, a)
+    F1 = riemann.fluxes(Ul, U1d, Wl, W1d, Bxi, sim)
+
+    # step 5a: half-dt update of the 7-var cell-centered state
+    Uh = U1d - hq * (_sh(F1, 1, a) - F1)
+
+    # step 6a: half-dt static gravity
+    phic, phif = _phi_arrays(problem, grid, U.dtype)
+    if phic is not None:
+        phir = _shf(phif[a], 1, a)
+        phil = phif[a]
+        Uh = Uh.at[1].add(-hq * U1d[0] * (phir - phil))
+        Uh = Uh.at[4].add(-hq * (F1[0] * (phic - phil) +
+                                 _shf(F1[0], 1, a) * (phir - phic)))
+
+    # step 7: invert at n+1/2 (no FOFC guard in this build)
+    Whalf = sr_mhd_cons1d_to_prim1d(Uh, Bxc, sim)
+
+    # steps 8, 11: second-order primitive states + full fluxes
+    Wm, Wp_ = reconstruct.lr_states(Whalf, Bxc, dtodx, sim, axis=2 - a)
+    Wl2 = _sh(Wp_, -1, a)
+    Wr2 = Wm
+    Ul2 = sr_mhd_prim1d_to_cons1d(Wl2, Bxi, sim)
+    Ur2 = sr_mhd_prim1d_to_cons1d(Wr2, Bxi, sim)
+    F2 = riemann.fluxes(Ul2, Ur2, Wl2, Wr2, Bxi, sim)
+
+    # steps 13-14: full-dt source + conservative update
+    Un = U1d0 - dtodx * (_sh(F2, 1, a) - F2)
+    if phic is not None:
+        Un = Un.at[1].add(-dtodx * Uh[0] * (phir - phil))
+        Un = Un.at[4].add(-dtodx * (F2[0] * (phic - phil) +
+                                    _shf(F2[0], 1, a) * (phir - phic)))
+
+    # scatter back: hydro rows into U, By/Bz rows into Bcc; interface
+    # fields follow the cell centers (B2i/B3i = B2c/B3c)
+    sl = (slice(None),) + grid.interior()
+    hyd = vperm_from_sweep(Un[:ib], a, sim)
+    Uout = U.at[sl].set(hyd[sl])
+    ssl = grid.interior()
+    Bcc_new = Bcc.at[(a1,) + ssl].set(Un[ib][ssl])
+    Bcc_new = Bcc_new.at[(a2,) + ssl].set(Un[ib + 1][ssl])
+    Bi_new = [Bi[0], Bi[1], Bi[2]]
+    Bi_new[a1] = Bi[a1].at[ssl].set(Un[ib][ssl])
+    Bi_new[a2] = Bi[a2].at[ssl].set(Un[ib + 1][ssl])
+    return state.replace(U=Uout, Bcc=Bcc_new, B1i=Bi_new[0],
+                         B2i=Bi_new[1], B3i=Bi_new[2])
+
+
 def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
-    assert sim.gas == "hydro", "1D/2D VL MHD pending"
+    if sim.mhd and sim.special_relativity:
+        return step_sr_mhd_1d(state, dt, sim, grid, problem)
+    assert sim.gas == "hydro", "1D/2D Newtonian VL MHD pending"
     axes = [a for a in range(3) if grid.active(a)]
     dtodx = {a: dt / grid.dx[a] for a in axes}
     hq = {a: 0.5 * dtodx[a] for a in axes}

@@ -94,16 +94,26 @@ class IonizSphere:
         U = U.at[5].set(s0)
         return st.replace(U=U)
 
-    def userwork_in_loop(self, state, sim: SimConfig, grid: GridConfig):
-        """Re-impose the hydrostatic profile within r < 0.75 rp each cycle
-        (Userwork_in_loop, ioniz_sphere.c:283-293)."""
+    def _reset_fields(self, dtype, sim: SimConfig, grid: GridConfig):
+        """Precomputed (inside-mask, reset-rho, reset-E) for userwork — these
+        depend only on the grid, so build them once on the host (numpy) and
+        cache; the per-cycle userwork is then six jnp.where ops."""
+        key = (str(dtype), grid.padded_shape())
+        cached = getattr(self, "_reset_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        import jax
+        with jax.ensure_compile_time_eval():
+            return self._reset_build(key, dtype, sim, grid)
+
+    def _reset_build(self, key, dtype, sim, grid):
         gamma, g1 = sim.gamma, sim.gamma_1
         xs = [np.asarray(grid.cc_coords(a)) for a in range(3)]
         x1 = jnp.asarray(xs[0]).reshape(1, 1, -1)
         x2 = jnp.asarray(xs[1]).reshape(1, -1, 1)
         x3 = jnp.asarray(xs[2]).reshape(-1, 1, 1)
         rad2 = jnp.broadcast_to(x1 ** 2 + x2 ** 2 + x3 ** 2,
-                                grid.padded_shape()).astype(state.U.dtype)
+                                grid.padded_shape()).astype(dtype)
         inside = rad2 <= self.rreset2
         # only active cells (is..ie loops)
         act = np.zeros(grid.padded_shape(), bool)
@@ -114,12 +124,20 @@ class IonizSphere:
                  jnp.maximum(jnp.sqrt(rad2), TINY_NUMBER)
                  + self.Cp) ** self.powindex
         myrho = jnp.minimum(myrho, self.rho0)
+        myE = self.K * myrho ** gamma / g1
+        out = (inside, myrho, myE)
+        self._reset_cache = (key, out)
+        return out
+
+    def userwork_in_loop(self, state, sim: SimConfig, grid: GridConfig):
+        """Re-impose the hydrostatic profile within r < 0.75 rp each cycle
+        (Userwork_in_loop, ioniz_sphere.c:283-293)."""
+        inside, myrho, myE = self._reset_fields(state.U.dtype, sim, grid)
 
         U = state.U
         U = U.at[ID].set(jnp.where(inside, myrho, U[ID]))
         for m in range(3):
             U = U.at[IM1 + m].set(jnp.where(inside, 0.0, U[IM1 + m]))
-        U = U.at[IEN].set(jnp.where(inside,
-                                    self.K * myrho ** gamma / g1, U[IEN]))
+        U = U.at[IEN].set(jnp.where(inside, myE, U[IEN]))
         U = U.at[5].set(jnp.where(inside, myrho, U[5]))
         return state.replace(U=U)

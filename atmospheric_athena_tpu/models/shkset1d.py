@@ -48,7 +48,11 @@ class Shkset1D:
 
         Wl, Bxl = prim_side("l")
         Wr, Bxr = prim_side("r")
-        if sim.special_relativity:
+        if sim.special_relativity and sim.mhd:
+            from ..eos_sr import sr_mhd_prim1d_to_cons1d
+            Ul = sr_mhd_prim1d_to_cons1d(Wl, jnp.asarray(Bxl, dtype), sim)
+            Ur = sr_mhd_prim1d_to_cons1d(Wr, jnp.asarray(Bxr, dtype), sim)
+        elif sim.special_relativity:
             from ..eos_sr import sr_prim1d_to_cons1d
             Ul = sr_prim1d_to_cons1d(Wl, sim)
             Ur = sr_prim1d_to_cons1d(Wr, sim)
@@ -87,7 +91,7 @@ class Shkset1D:
         kw = {}
         if sim.mhd:
             Bcc = st.Bcc
-            Bcc = Bcc.at[a1].set(jnp.where(mask, Bxl, Bxl))
+            Bcc = Bcc.at[a1].set(jnp.where(mask, Bxl, Bxr))
             Bcc = Bcc.at[a2].set(sel(ib))
             Bcc = Bcc.at[a3].set(sel(ib + 1))
             kw = dict(Bcc=Bcc, B1i=Bcc[0], B2i=Bcc[1], B3i=Bcc[2])

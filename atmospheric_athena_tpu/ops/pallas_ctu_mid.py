@@ -1,29 +1,33 @@
 """Pallas kernels for the CTU middle phases: transverse flux corrections
-(steps 5-7) and the final conservative update (steps 11-12).
+(steps 5-7), the H-correction + final Riemann solve (step 9), and the
+full-dt source + conservative update (steps 11-12).
 
-These are the two phases left in whole-grid JAX after pallas_hydro fused
-steps 1-3 and 9; XLA materializes every jnp.roll of the [nvar, 264^3]
-stacked arrays, which dominates the remaining step time.  Both phases have
-only ±1-cell stencils, so they tile as (1, by, NX) blocks (x fully
-in-block) with cell shifts along y and z assembled from *block-neighbor
-operands*: for each shifted input the kernel receives the aligned block
-plus the ±1-block along that axis and concatenates the boundary row.
-Block indices are clamped at the array edge, so the only contaminated
-cells are the outermost row/plane — inside the nghost=4 ghost region the
-interior update never reads.
+These phases were left in whole-grid JAX after pallas_hydro fused steps 1-3;
+XLA materializes every jnp.roll of the [nvar, 264^3] stacked arrays, which
+put the measured traffic at ~8.5 KB/cell (cost_analysis) against a ~2 KB/cell
+budget for this pipeline.  All stencils here are +/-1 cell, so arrays tile as
+(nvar, bz, by, NX) blocks (x fully in-block; bz=4, by=8) and cell shifts
+along z/y are assembled from *block-neighbor operands*: for each shifted
+input the kernel receives the aligned block plus the +/-1-block view along
+that axis (and the corner view for combined shifts) and concatenates the
+boundary plane/row.  Block indices are clamped at the array edge, so the
+only contaminated cells are the outermost plane — inside the nghost=4 ghost
+region, which the interior update never reads (ctu3d.py:16-23).
 
-transverse_correct — per axis a (integrate_3d_ctu.c:971-1065 + the
-    static-gravity cross terms :1160-1222):
-        Ulc[a] = Ulp[a] - sum_b q_b·sh(dF_b, -1, a) - grav_l
-        Urc[a] = Urp[a] - sum_b q_b·dF_b            - grav_r
-    The Ul-side terms are exactly the Ur-side terms shifted -1 along a,
-    so the kernel evaluates the same contribution expression on two
-    offset views (0 and -1_a).
+Operand-count control (the round-2 version's ~17-operand pipelines took
+Mosaic minutes to compile): the static-gravity cross terms are factored out
+into per-axis 2-field arrays G[b] = (dM_b, dE_b) precomputed by one fused
+jnp pass (gcross/grav_source below), so the transverse kernel reads G
+instead of (phic, phif, U_d) and their shifted views.
 
-final_update — steps 11-12 (:2741-2782, :2975-3069): full-dt static
-    gravity source at n+1/2 (mass-flux-weighted energy form) plus the
-    conservative flux-difference update, with the active-interior splice
-    applied in-kernel.
+Numerical contract: every kernel mirrors the jnp formulation in
+integrators/ctu3d.py op-for-op (same accumulation order, same component
+update order), so the two paths are bitwise identical — asserted by
+tests/test_pallas.py in interpreter mode.
+
+Reference provenance: transverse corrections integrate_3d_ctu.c:971-1065
+(+ gravity cross terms :1160-1222), H-correction + final fluxes :2292-2438,
+full-dt gravity source :2741-2782, conservative update :2975-3069.
 """
 
 from __future__ import annotations
@@ -37,226 +41,372 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import GridConfig, SimConfig
 from ..defs import ID, IEN, IM1
+from ..eos import cons1d_to_prim1d
+from ..integrators.sweep import inv_perm, var_perm
+from . import riemann
 
+import os as _os
 
-def _by_of(NY: int) -> int:
-    """Row tile: a multiple of 8 dividing NY (NY = N + 2*nghost = 8k+...).
-    Kept small — these kernels take ~15 block operands, and VMEM must hold
-    2x (double-buffered) copies of each.  Returns 0 if none exists (caller
-    falls back to the jnp path)."""
-    for b in (24, 16, 8):
-        if NY % b == 0:
-            return b
-    return 0
+_BZ = int(_os.environ.get("ATHENA_TPU_MID_BZ", "8"))
+_BY = int(_os.environ.get("ATHENA_TPU_MID_BY", "8"))
 
 
 def supported(grid: GridConfig) -> bool:
-    """Opt-in (ATHENA_TPU_PALLAS_MID=1): these kernels are numerically
-    validated (tests/test_pallas.py) and cut the remaining JAX-middle HBM
-    traffic, but their ~15-operand block pipelines currently take Mosaic
-    tens of minutes to compile on the remote TPU toolchain — unusable as a
-    default until the block-neighbor operands are restructured (fewer
-    operands via fused halo loads)."""
+    """Default-on for 3D grids whose padded shape tiles as (4, 8, NX).
+    ATHENA_TPU_PALLAS_MID=0 forces the jnp fallback."""
     import os
-    if os.environ.get("ATHENA_TPU_PALLAS_MID", "0").lower() not in (
-            "1", "on", "true"):
+    if os.environ.get("ATHENA_TPU_PALLAS_MID", "1").lower() in (
+            "0", "off", "false"):
         return False
     NZ, NY, NX = grid.padded_shape()
-    return _by_of(NY) > 0
+    return NZ % _BZ == 0 and NY % _BY == 0
 
 
-def _mkspec(nv, by, NX, dzb, dyb, gz, gy, scalar=False):
-    """BlockSpec for a (nv,1,by,NX) tile at block offset (dzb, dyb), clamped
-    at the grid edge (garbage lands only in the outermost ghost row)."""
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu",)
+
+
+def _restack(X, perm):
+    return jnp.stack([X[p] for p in perm])
+
+
+def _sub_at(X, i, delta):
+    """X.at[i].add(-delta) via concatenate (robust under Mosaic)."""
+    return jnp.concatenate([X[:i], (X[i] - delta)[None], X[i + 1:]], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# block-neighbor views: specs + kernel-side cell-shift assembly
+# ---------------------------------------------------------------------------
+
+
+def _mkspec(blk, dzb, dyb, gz, gy):
+    """BlockSpec for a block at block offset (dzb, dyb), clamped at the grid
+    edge (garbage lands only in the outermost ghost plane/row)."""
+    nd = len(blk)
+
     def om(i, j):
         ii = jnp.clip(i + dzb, 0, gz - 1) if dzb else i
         jj = jnp.clip(j + dyb, 0, gy - 1) if dyb else j
-        return (ii, jj, 0) if scalar else (0, ii, jj, 0)
-    blk = (1, by, NX) if scalar else (nv, 1, by, NX)
+        return (ii, jj, 0) if nd == 3 else (0, ii, jj, 0)
     return pl.BlockSpec(blk, om)
 
 
-def _shy(A, Bp):
-    """sh(X, +1, y) on a (..., by, NX) tile: rows from A[1:] + Bp[0]."""
-    return jnp.concatenate([A[..., 1:, :], Bp[..., :1, :]], axis=-2)
+class _Operands:
+    """Collects (name, dzb, dyb) -> array views at call time; hands the
+    kernel an assembler for arbitrary +/-1 cell shifts."""
+
+    def __init__(self):
+        self.keys = []
+        self.args = []
+        self._set = {}
+
+    def add(self, name, arr, dzb=0, dyb=0):
+        k = (name, dzb, dyb)
+        if k not in self._set:
+            self._set[k] = arr
+            self.keys.append(k)
+            self.args.append(arr)
+
+    def need_shift(self, name, arr, dz, dy):
+        """Register the views needed for a (dz, dy) cell shift."""
+        self.add(name, arr, 0, 0)
+        if dz:
+            self.add(name, arr, dz, 0)
+        if dy:
+            self.add(name, arr, 0, dy)
+        if dz and dy:
+            self.add(name, arr, dz, dy)
+
+    def specs(self, nv, gz, gy, NX):
+        out = []
+        for (name, dzb, dyb), arr in zip(self.keys, self.args):
+            blk = ((_BZ, _BY, NX) if arr.ndim == 3 else
+                   (arr.shape[0], _BZ, _BY, NX))
+            out.append(_mkspec(blk, dzb, dyb, gz, gy))
+        return out
 
 
-def _shym(A, Bm):
-    """sh(X, -1, y): Bm[-1] + A[:-1]."""
-    return jnp.concatenate([Bm[..., -1:, :], A[..., :-1, :]], axis=-2)
+def _cat(A, B, d, axdim):
+    """Cell shift by d in {-1,+1} along axdim, boundary from neighbor B."""
+    sl = [slice(None)] * A.ndim
+    sr = [slice(None)] * A.ndim
+    if d > 0:
+        sl[axdim] = slice(1, None)
+        sr[axdim] = slice(0, 1)
+        return jnp.concatenate([A[tuple(sl)], B[tuple(sr)]], axis=axdim)
+    sl[axdim] = slice(0, -1)
+    sr[axdim] = slice(-1, None)
+    return jnp.concatenate([B[tuple(sr)], A[tuple(sl)]], axis=axdim)
 
 
-def _shx(X, k):
-    """sh(X, k, x) in-block (wrap garbage stays in x ghosts)."""
-    return jnp.roll(X, -k, axis=-1)
+class _Tiles:
+    """Kernel-side view of the operand tiles; sh(name, axis, d) returns the
+    tile shifted by d cells along Athena axis (0=x in-block roll, 1=y,
+    2=z block-assembled).  Combined shifts via sh2."""
+
+    def __init__(self, keys, tiles):
+        self.t = dict(zip(keys, tiles))
+
+    def at(self, name, dzb=0, dyb=0):
+        return self.t[(name, dzb, dyb)]
+
+    def sh(self, name, axis, d, dzb=0, dyb=0):
+        A = self.at(name, dzb, dyb)
+        if d == 0:
+            return A
+        if axis == 0:
+            return jnp.roll(A, -d, axis=-1)
+        if axis == 1:
+            return _cat(A, self.at(name, dzb, d), d, A.ndim - 2)
+        return _cat(A, self.at(name, d, dyb), d, A.ndim - 3)
+
+    def sh2(self, name, a1, d1, a2, d2):
+        """Shift d1 along a1 then d2 along a2 (both nonzero, a1 != a2,
+        neither may be x if the other is a block axis... x handled last)."""
+        if a1 == 0:
+            return jnp.roll(self.sh(name, a2, d2), -d1, axis=-1)
+        if a2 == 0:
+            return jnp.roll(self.sh(name, a1, d1), -d2, axis=-1)
+        # both block axes (y,z): shift A and its a1-neighbor along a2 first
+        dzb1 = d1 if a1 == 2 else 0
+        dyb1 = d1 if a1 == 1 else 0
+        A2 = self.sh(name, a2, d2)
+        B2 = self.sh(name, a2, d2, dzb=dzb1, dyb=dyb1)
+        return _cat(A2, B2, d1, A2.ndim - 1 - a1)
 
 
-class _View:
-    """Accessor giving per-cell-aligned tiles of each input at a fixed
-    offset along the correction axis `a` (0 or -1), with optional +1 shifts
-    along a transverse axis b.  Operand tiles are passed in as a dict
-    keyed by (name, dz_cells, dy_cells)."""
-
-    def __init__(self, ops, a, off):
-        self.ops = ops   # dict[(name, dz, dy)] -> tile
-        self.a = a
-        self.off = off   # 0 or -1 along axis a
-
-    def _get(self, name, dz, dy, shift_x=0):
-        t = self.ops[(name, dz, dy)]
-        return _shx(t, shift_x) if shift_x else t
-
-    def at(self, name, plus_b=None):
-        """Tile of `name` at offset self.off along a, +1 along plus_b."""
-        dz = dy = sx = 0
-        if self.off == -1:
-            if self.a == 1:
-                dy -= 1
-            elif self.a == 2:
-                dz -= 1
-            else:
-                sx -= 1
-        if plus_b == 2:
-            dz += 1
-        elif plus_b == 1:
-            dy += 1
-        elif plus_b == 0:
-            sx += 1
-        # y shifts are cell-level: assemble from block neighbors
-        if dy == 0:
-            return self._get(name, dz, 0, sx)
-        A = self._get(name, dz, 0, sx)
-        B = self._get(name, dz, dy, sx)
-        return _shy(A, B) if dy > 0 else _shym(A, B)
+# ---------------------------------------------------------------------------
+# fused jnp precomputes (single-pass elementwise; XLA fuses these)
+# ---------------------------------------------------------------------------
 
 
-def _contrib(view: _View, a, axes, q, adiabatic, with_grav, nv):
-    """Ur-side correction arrays (list per variable) evaluated on `view`
-    (integrate_3d_ctu.c:984-1065, 1160-1222 in physical order)."""
-    corr = None
+def _shf(q, k, axis):
+    return jnp.roll(q, -k, axis=2 - axis)
+
+
+def gcross(U, phic, phif, Fp, q, axes):
+    """Static-gravity transverse cross terms (integrate_3d_ctu.c:1160-1222)
+    as per-axis stacked (2, Nz, Ny, Nx) arrays [dM_b, dE_b]."""
+    out = {}
     for b in axes:
-        if b == a:
-            continue
-        Fb = view.at(f"F{b}")
-        Fb1 = view.at(f"F{b}", plus_b=b)
-        dFb = Fb1 - Fb
-        c = q[b] * dFb
-        corr = c if corr is None else corr + c
-    extra = {}
-    if with_grav:
-        Ud = view.at("Ud")
-        phic = view.at("phic")
-        for b in axes:
-            if b == a:
-                continue
-            phil = view.at(f"phif{b}")
-            phir = view.at(f"phif{b}", plus_b=b)
-            FbID = view.at(f"F{b}")[ID]
-            FbID1 = view.at(f"F{b}", plus_b=b)[ID]
-            dMb = q[b] * (phir - phil) * Ud
-            extra[IM1 + b] = extra.get(IM1 + b, 0.0) + dMb
-            if adiabatic:
-                dE = q[b] * (FbID * (phic - phil) + FbID1 * (phir - phic))
-                extra[IEN] = extra.get(IEN, 0.0) + dE
-    return corr, extra
+        phir = _shf(phif[b], 1, b)
+        phil = phif[b]
+        dMb = q[b] * (phir - phil) * U[ID]
+        dE = q[b] * (Fp[b][ID] * (phic - phil) +
+                     _shf(Fp[b][ID], 1, b) * (phir - phic))
+        out[b] = jnp.stack([dMb, dE])
+    return out
+
+
+def grav_source(Fp2, dhalf, phic, phif, dtodx, axes):
+    """Full-dt gravity source terms (:2741-2782) as a stacked (6, ...)
+    array [dM_0..2, dE_0..2] (inactive axes zero-filled)."""
+    dM, dE = [], []
+    for a in range(3):
+        if a in axes:
+            phir = _shf(phif[a], 1, a)
+            phil = phif[a]
+            dM.append(dtodx[a] * (phir - phil) * dhalf)
+            dE.append(dtodx[a] * (Fp2[a][ID] * (phic - phil) +
+                                  _shf(Fp2[a][ID], 1, a) * (phir - phic)))
+        else:
+            dM.append(jnp.zeros_like(dhalf))
+            dE.append(jnp.zeros_like(dhalf))
+    return jnp.stack(dM + dE)
+
+
+# ---------------------------------------------------------------------------
+# steps 5-7 (+ H-correction eta): transverse corrections
+# ---------------------------------------------------------------------------
+
+
+def _cfast_tile(Uc, sim: SimConfig):
+    d = Uc[ID]
+    di = 1.0 / d
+    if sim.adiabatic:
+        p = sim.gamma_1 * (Uc[IEN] - 0.5 * (
+            Uc[IM1] ** 2 + Uc[IM1 + 1] ** 2 + Uc[IM1 + 2] ** 2) * di)
+        return jnp.sqrt(sim.gamma * p * di)
+    return jnp.sqrt(sim.iso_csound2) * jnp.ones_like(d)
 
 
 def _trans_kernel(q_ref, *refs, sim: SimConfig, a: int, axes, keys,
-                  with_grav: bool):
+                  with_grav: bool, with_eta: bool):
     q = {b: q_ref[0, b] for b in axes}
     nops = len(keys)
-    in_refs = refs[:nops]
-    Ulc_ref, Urc_ref = refs[nops:]
-    ops = {}
-    for k, r in zip(keys, in_refs):
-        t = r[...]
-        ops[k] = t[:, 0] if t.ndim == 4 else t[0]
-    Ulp = ops[("Ulp", 0, 0)]
-    Urp = ops[("Urp", 0, 0)]
+    outs = refs[nops:]
+    tl = _Tiles(keys, [r[...] for r in refs[:nops]])
 
-    v0 = _View(ops, a, 0)
-    vm = _View(ops, a, -1)
-    corr_r, extra_r = _contrib(v0, a, axes, q, sim.adiabatic, with_grav,
-                               Ulp.shape[0])
-    corr_l, extra_l = _contrib(vm, a, axes, q, sim.adiabatic, with_grav,
-                               Ulp.shape[0])
-    Urc = Urp - corr_r
-    Ulc = Ulp - corr_l
-    for idx, vr in extra_r.items():
-        Urc = jnp.concatenate([Urc[:idx], (Urc[idx] - vr)[None],
-                               Urc[idx + 1:]], axis=0)
-    for idx, vl in extra_l.items():
-        Ulc = jnp.concatenate([Ulc[:idx], (Ulc[idx] - vl)[None],
-                               Ulc[idx + 1:]], axis=0)
-    Ulc_ref[...] = Ulc[:, None]
-    Urc_ref[...] = Urc[:, None]
+    Ulp = tl.at("Ulp")
+    Urp = tl.at("Urp")
 
-
-def transverse_correct(Ulp, Urp, Fp, U, phic, phif, q, sim: SimConfig,
-                       grid: GridConfig, a: int, axes):
-    """Fused steps 5-7 for axis a.  Fp: dict axis->flux array; phic/phif:
-    static-potential fields or None.  Returns (Ulc, Urc)."""
-    nv, NZ, NY, NX = Ulp.shape
-    by = _by_of(NY)
-    gz, gy = NZ, NY // by
-    with_grav = phic is not None
-
-    # operand list: (name, dz_blocks, dy_blocks) -> array; z blocks are
-    # 1-thick so a z block offset IS a z cell offset
-    need = {("Ulp", 0, 0): Ulp, ("Urp", 0, 0): Urp, ("Ud", 0, 0): U[ID]}
-
-    def add(name, arr, dz, dy):
-        need.setdefault((name, dz, dy), arr)
-
-    offs_a = [(0, 0)]
-    if a == 1:
-        offs_a.append((0, -1))
-    elif a == 2:
-        offs_a.append((-1, 0))
+    # Ur side: corr = sum_b q_b * (F_b(+1_b) - F_b)   (ascending b)
+    corr_r = None
+    corr_l = None
     for b in axes:
         if b == a:
             continue
-        for (dz, dy) in offs_a:
-            add(f"F{b}", Fp[b], dz, dy)
-            if b == 1:
-                add(f"F{b}", Fp[b], dz, dy + 1)
-            elif b == 2:
-                add(f"F{b}", Fp[b], dz + 1, dy)
+        dF_r = tl.sh(f"F{b}", b, 1) - tl.at(f"F{b}")
+        dF_l = tl.sh2(f"F{b}", b, 1, a, -1) - tl.sh(f"F{b}", a, -1)
+        cr = q[b] * dF_r
+        cl = q[b] * dF_l
+        corr_r = cr if corr_r is None else corr_r + cr
+        corr_l = cl if corr_l is None else corr_l + cl
+    Urc = Urp - corr_r
+    Ulc = Ulp - corr_l
+
+    # gravity cross terms, mirroring ctu3d.py's per-b order:
+    # Urc[M_b] -= dMb ; Ulc[M_b] -= sh(dMb,-1,a) ; then IEN for both
     if with_grav:
-        for (dz, dy) in offs_a:
-            add("phic", phic, dz, dy)
-            add("Ud", U[ID], dz, dy)
-            for b in axes:
-                if b == a:
-                    continue
-                add(f"phif{b}", phif[b], dz, dy)
-                if b == 1:
-                    add(f"phif{b}", phif[b], dz, dy + 1)
-                elif b == 2:
-                    add(f"phif{b}", phif[b], dz + 1, dy)
+        for b in axes:
+            if b == a:
+                continue
+            Gb = tl.at(f"G{b}")
+            Gbm = tl.sh(f"G{b}", a, -1)
+            Urc = _sub_at(Urc, IM1 + b, Gb[0])
+            Ulc = _sub_at(Ulc, IM1 + b, Gbm[0])
+            if sim.adiabatic:
+                Urc = _sub_at(Urc, IEN, Gb[1])
+                Ulc = _sub_at(Ulc, IEN, Gbm[1])
 
-    keys = list(need.keys())
-    args = [need[k] for k in keys]
-    in_specs = [pl.BlockSpec((1, 4), lambda i, j: (0, 0),
-                             memory_space=pltpu.SMEM)]
-    for (name, dz, dy), arr in zip(keys, args):
-        in_specs.append(_mkspec(nv, by, NX, dz, dy, gz, gy,
-                                scalar=(arr.ndim == 3)))
-    qarr = jnp.stack([q.get(b, jnp.zeros((), Ulp.dtype))
-                      for b in range(3)] +
-                     [jnp.zeros((), Ulp.dtype)]).reshape(1, 4)
+    out_iter = iter(outs)
+    next(out_iter)[...] = Ulc
+    next(out_iter)[...] = Urc
+    if with_eta:
+        cfl = _cfast_tile(Ulc, sim)
+        cfr = _cfast_tile(Urc, sim)
+        lam_r = Urc[IM1 + a] / Urc[ID] + cfr
+        lam_l = Ulc[IM1 + a] / Ulc[ID] - cfl
+        next(out_iter)[...] = 0.5 * jnp.abs(lam_r - lam_l)
 
-    out_spec = _mkspec(nv, by, NX, 0, 0, gz, gy)
+
+def transverse_correct(Ulp, Urp, Fp, G, q, sim: SimConfig,
+                       grid: GridConfig, a: int, axes):
+    """Fused steps 5-7 for axis a.  Returns (Ulc, Urc, eta) with eta the
+    H-correction interface jump (or None without h_correction)."""
+    nv, NZ, NY, NX = Ulp.shape
+    gz, gy = NZ // _BZ, NY // _BY
+    with_grav = G is not None
+    with_eta = sim.h_correction
+
+    ops = _Operands()
+    ops.add("Ulp", Ulp)
+    ops.add("Urp", Urp)
+    dza = -1 if a == 2 else 0
+    dya = -1 if a == 1 else 0
+    for b in axes:
+        if b == a:
+            continue
+        dzb = 1 if b == 2 else 0
+        dyb = 1 if b == 1 else 0
+        # views for F_b, F_b(+1_b), F_b(-1_a), F_b(+1_b,-1_a)
+        ops.need_shift(f"F{b}", Fp[b], dzb, dyb)
+        ops.need_shift(f"F{b}", Fp[b], dza, dya)
+        ops.need_shift(f"F{b}", Fp[b], dzb + dza, dyb + dya)
+        if with_grav:
+            ops.need_shift(f"G{b}", G[b], dza, dya)
+
+    qarr = jnp.stack([q.get(b, jnp.zeros((), Ulp.dtype)) for b in range(3)]
+                     + [jnp.zeros((), Ulp.dtype)]).reshape(1, 4)
+    smem = pl.BlockSpec((1, 4), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    in_specs = [smem] + ops.specs(nv, gz, gy, NX)
+
+    out_spec4 = _mkspec((nv, _BZ, _BY, NX), 0, 0, gz, gy)
+    out_specs = [out_spec4, out_spec4]
+    out_shape = [jax.ShapeDtypeStruct(Ulp.shape, Ulp.dtype)] * 2
+    if with_eta:
+        out_specs.append(_mkspec((_BZ, _BY, NX), 0, 0, gz, gy))
+        out_shape.append(jax.ShapeDtypeStruct((NZ, NY, NX), Ulp.dtype))
+
     kern = functools.partial(_trans_kernel, sim=sim, a=a, axes=tuple(axes),
-                             keys=tuple(keys), with_grav=with_grav)
+                             keys=tuple(ops.keys), with_grav=with_grav,
+                             with_eta=with_eta)
+    out = pl.pallas_call(
+        kern,
+        grid=(gz, gy),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(qarr, *ops.args)
+    if with_eta:
+        return out
+    return out[0], out[1], None
+
+
+# ---------------------------------------------------------------------------
+# step 9: H-correction etah gather + final Riemann solve
+# ---------------------------------------------------------------------------
+
+
+def _fluxh_kernel(*refs, sim: SimConfig, a: int, axes, keys,
+                  with_eta: bool):
+    nops = len(keys)
+    (F_ref,) = refs[nops:]
+    tl = _Tiles(keys, [r[...] for r in refs[:nops]])
+    Ul = tl.at("Ulc")
+    Ur = tl.at("Urc")
+
+    etah = None
+    if with_eta:
+        # etah = max over (eta_a; per b: eta_b, sh(eta_b,-1,a),
+        # sh(eta_b,+1,b), sh(sh(eta_b,+1,b),-1,a))  (ctu3d.py step 9)
+        etah = tl.at("eta")[a]
+        for b in axes:
+            if b == a:
+                continue
+            for cand in (tl.at("eta")[b],
+                         tl.sh("eta", a, -1)[b],
+                         tl.sh("eta", b, 1)[b],
+                         tl.sh2("eta", b, 1, a, -1)[b]):
+                etah = jnp.maximum(etah, cand)
+
+    perm = var_perm(a, sim)
+    ipm = inv_perm(perm)
+    Uls = _restack(Ul, perm)
+    Urs = _restack(Ur, perm)
+    Wl = cons1d_to_prim1d(Uls, None, sim)
+    Wr = cons1d_to_prim1d(Urs, None, sim)
+    F = riemann.fluxes(Uls, Urs, Wl, Wr, None, sim, etah=etah,
+                       branchless=True)
+    F_ref[...] = _restack(F, ipm)
+
+
+def flux_corrected(Ulc, Urc, etaS, sim: SimConfig, grid: GridConfig,
+                   a: int, axes):
+    """Fused step 9: etah gather + Riemann solve on corrected states."""
+    nv, NZ, NY, NX = Ulc.shape
+    gz, gy = NZ // _BZ, NY // _BY
+    with_eta = etaS is not None
+
+    ops = _Operands()
+    ops.add("Ulc", Ulc)
+    ops.add("Urc", Urc)
+    if with_eta:
+        dza = -1 if a == 2 else 0
+        dya = -1 if a == 1 else 0
+        ops.need_shift("eta", etaS, dza, dya)
+        for b in axes:
+            if b == a:
+                continue
+            dzb = 1 if b == 2 else 0
+            dyb = 1 if b == 1 else 0
+            ops.need_shift("eta", etaS, dzb, dyb)
+            ops.need_shift("eta", etaS, dzb + dza, dyb + dya)
+
+    in_specs = ops.specs(nv, gz, gy, NX)
+    kern = functools.partial(_fluxh_kernel, sim=sim, a=a, axes=tuple(axes),
+                             keys=tuple(ops.keys), with_eta=with_eta)
     return pl.pallas_call(
         kern,
         grid=(gz, gy),
         in_specs=in_specs,
-        out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct(Ulp.shape, Ulp.dtype),) * 2,
+        out_specs=_mkspec((nv, _BZ, _BY, NX), 0, 0, gz, gy),
+        out_shape=jax.ShapeDtypeStruct(Ulc.shape, Ulc.dtype),
         interpret=_interpret(),
-    )(qarr, *args)
+    )(*ops.args)
 
 
 # ---------------------------------------------------------------------------
@@ -264,122 +414,69 @@ def transverse_correct(Ulp, Urp, Fp, U, phic, phif, q, sim: SimConfig,
 # ---------------------------------------------------------------------------
 
 
-def _update_kernel(q_ref, *refs, sim: SimConfig, axes, keys,
-                   with_grav: bool, lo, hi, by):
+def _final_kernel(q_ref, *refs, sim: SimConfig, axes, keys,
+                  with_grav: bool, lo, hi):
     dtodx = {b: q_ref[0, b] for b in axes}
     nops = len(keys)
-    in_refs = refs[:nops]
     (out_ref,) = refs[nops:]
-    ops = {}
-    for k, r in zip(keys, in_refs):
-        t = r[...]
-        ops[k] = t[:, 0] if t.ndim == 4 else t[0]
-    U = ops[("U", 0, 0)]
-
-    def at(name, dz=0, dy=0, sx=0):
-        if dy == 0:
-            t = ops[(name, dz, 0)]
-            return _shx(t, sx) if sx else t
-        A = ops[(name, dz, 0)]
-        B = ops[(name, dz, dy)]
-        A = _shx(A, sx) if sx else A
-        B = _shx(B, sx) if sx else B
-        return _shy(A, B)
-
-    def sh1(name, b):
-        if b == 0:
-            return at(name, sx=1)
-        if b == 1:
-            return at(name, dy=1)
-        return at(name, dz=1)
+    tl = _Tiles(keys, [r[...] for r in refs[:nops]])
+    U = tl.at("U")
 
     Unew = U
     if with_grav:
-        dhalf = at("dhalf")
-        phic = at("phic")
+        Sg = tl.at("Sg")
         for a in axes:
-            phil = at(f"phif{a}")
-            phir = sh1(f"phif{a}", a)
-            FID = at(f"F{a}")[ID]
-            FID1 = sh1(f"F{a}", a)[ID]
-            dMa = dtodx[a] * (phir - phil) * dhalf
-            Unew = jnp.concatenate(
-                [Unew[:IM1 + a], (Unew[IM1 + a] - dMa)[None],
-                 Unew[IM1 + a + 1:]], axis=0)
+            Unew = _sub_at(Unew, IM1 + a, Sg[a])
             if sim.adiabatic:
-                dE = dtodx[a] * (FID * (phic - phil) + FID1 * (phir - phic))
-                Unew = jnp.concatenate(
-                    [Unew[:IEN], (Unew[IEN] - dE)[None], Unew[IEN + 1:]],
-                    axis=0)
+                Unew = _sub_at(Unew, IEN, Sg[3 + a])
     for a in axes:
-        Unew = Unew - dtodx[a] * (sh1(f"F{a}", a) - at(f"F{a}"))
+        Unew = Unew - dtodx[a] * (tl.sh(f"F{a}", a, 1) - tl.at(f"F{a}"))
 
     # interior splice: ghosts keep U (ctu3d.py step-12 splice)
     i = pl.program_id(0)
     j = pl.program_id(1)
-    sh = U.shape[-2:]
-    yid = j * by + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
-    xid = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
-    interior = ((i >= lo[2]) & (i <= hi[2]) &
+    sh = U.shape[-3:]
+    zid = i * _BZ + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    yid = j * _BY + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    xid = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
+    interior = ((zid >= lo[2]) & (zid <= hi[2]) &
                 (yid >= lo[1]) & (yid <= hi[1]) &
                 (xid >= lo[0]) & (xid <= hi[0]))
-    out_ref[...] = jnp.where(interior, Unew, U)[:, None]
+    out_ref[...] = jnp.where(interior[None], Unew, U)
 
 
-def final_update(U, Fp2, dhalf, phic, phif, dtodx, sim: SimConfig,
-                 grid: GridConfig, axes):
-    """Fused steps 11-12 + splice.  Fp2: dict axis->final flux; returns the
-    new padded U."""
+def final_update(U, Fp2, Sg, dtodx, sim: SimConfig, grid: GridConfig,
+                 axes):
+    """Fused steps 11-12 + splice.  Sg: grav_source() output or None."""
     nv, NZ, NY, NX = U.shape
-    by = _by_of(NY)
-    gz, gy = NZ, NY // by
-    with_grav = phic is not None
+    gz, gy = NZ // _BZ, NY // _BY
+    with_grav = Sg is not None
 
-    need = {("U", 0, 0): U}
-
-    def add(name, arr, dz, dy):
-        need.setdefault((name, dz, dy), arr)
-
-    for a in axes:
-        add(f"F{a}", Fp2[a], 0, 0)
-        if a == 1:
-            add(f"F{a}", Fp2[a], 0, 1)
-        elif a == 2:
-            add(f"F{a}", Fp2[a], 1, 0)
+    ops = _Operands()
+    ops.add("U", U)
     if with_grav:
-        add("dhalf", dhalf, 0, 0)
-        add("phic", phic, 0, 0)
-        for a in axes:
-            add(f"phif{a}", phif[a], 0, 0)
-            if a == 1:
-                add(f"phif{a}", phif[a], 0, 1)
-            elif a == 2:
-                add(f"phif{a}", phif[a], 1, 0)
+        ops.add("Sg", Sg)
+    for a in axes:
+        dzb = 1 if a == 2 else 0
+        dyb = 1 if a == 1 else 0
+        ops.need_shift(f"F{a}", Fp2[a], dzb, dyb)
 
-    keys = list(need.keys())
-    args = [need[k] for k in keys]
-    in_specs = [pl.BlockSpec((1, 4), lambda i, j: (0, 0),
-                             memory_space=pltpu.SMEM)]
-    in_specs += [_mkspec(nv, by, NX, dz, dy, gz, gy,
-                         scalar=(arr.ndim == 3))
-                 for (name, dz, dy), arr in zip(keys, args)]
     qarr = jnp.stack([dtodx.get(b, jnp.zeros((), U.dtype))
-                      for b in range(3)] +
-                     [jnp.zeros((), U.dtype)]).reshape(1, 4)
+                      for b in range(3)]
+                     + [jnp.zeros((), U.dtype)]).reshape(1, 4)
+    smem = pl.BlockSpec((1, 4), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    in_specs = [smem] + ops.specs(nv, gz, gy, NX)
     lo = tuple(grid.lo(a) for a in range(3))
     hi = tuple(grid.hi(a) for a in range(3))
-    kern = functools.partial(_update_kernel, sim=sim, axes=tuple(axes),
-                             keys=tuple(keys),
-                             with_grav=with_grav, lo=lo, hi=hi, by=by)
+    kern = functools.partial(_final_kernel, sim=sim, axes=tuple(axes),
+                             keys=tuple(ops.keys), with_grav=with_grav,
+                             lo=lo, hi=hi)
     return pl.pallas_call(
         kern,
         grid=(gz, gy),
         in_specs=in_specs,
-        out_specs=_mkspec(nv, by, NX, 0, 0, gz, gy),
+        out_specs=_mkspec((nv, _BZ, _BY, NX), 0, 0, gz, gy),
         out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
         interpret=_interpret(),
-    )(qarr, *args)
-
-
-def _interpret() -> bool:
-    return jax.default_backend() not in ("tpu",)
+    )(qarr, *ops.args)

@@ -145,7 +145,9 @@ def sweep_lrflux(U, phic, phif_a, dtodx, sim: SimConfig, axis: int,
     nv, NZ, NY, NX = shape
     with_grav = phic is not None
     by = min(by, NY)
-    bx = min(bx, NX)
+    # z-sweep flattens (y,x) into lanes: bx tiles NY*NX, not NX (partial
+    # last blocks are fine; bx itself must stay a multiple of 128)
+    bx = min(bx, NX) if axis != 2 else min(bx, NY * NX)
     if axis == 2:  # flatten (y, x) into lanes — contiguous, layout no-op
         U = U.reshape(nv, NZ, NY * NX)
         if with_grav:
@@ -240,7 +242,9 @@ def _interpret() -> bool:
 def supported(sim: SimConfig, grid) -> bool:
     """Pallas fast path covers the production configuration: 3D adiabatic
     hydro, characteristic PLM/PPM, Roe/HLLE/HLLC fluxes."""
+    NZ, NY, NX = grid.padded_shape()
     return (sim.gas == "hydro"
             and all(grid.active(a) for a in range(3))
             and sim.order in ("1", "2", "3", "2p", "3p")
-            and sim.flux in ("roe", "hlle", "hllc"))
+            and sim.flux in ("roe", "hlle", "hllc")
+            and NY % 8 == 0)

@@ -731,9 +731,12 @@ def fluxes(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
     """Uniform dispatch like the reference's single compiled fluxes()."""
     if sim.special_relativity:
         from . import riemann_sr
+        table = ({"hlle": riemann_sr.hlle_sr_mhd,
+                  "hlld": riemann_sr.hlld_sr} if sim.mhd else
+                 {"hlle": riemann_sr.hlle_sr,
+                  "hllc": riemann_sr.hllc_sr})
         try:
-            solver = {"hlle": riemann_sr.hlle_sr,
-                      "hllc": riemann_sr.hllc_sr}[sim.flux]
+            solver = table[sim.flux]
         except KeyError:
             raise NotImplementedError(f"SR flux={sim.flux} not implemented")
         return solver(Ul, Ur, Wl, Wr, Bxi, sim, etah=etah)

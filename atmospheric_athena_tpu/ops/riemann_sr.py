@@ -1,4 +1,5 @@
-"""Special-relativistic Riemann solvers (hydro): HLLE and HLLC.
+"""Special-relativistic Riemann solvers: HLLE/HLLC (hydro) and
+HLLE/HLLD (MHD).
 
 Reference: src/rsolvers/hlle_sr.c (flux_LR :324-376, getVChar_pluto
 :393-500 hydro branches, HLL average :176-230) and hllc_sr.c (the
@@ -110,3 +111,479 @@ def hllc_sr(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
     return jnp.where(lml >= 0.0, Fl,
                      jnp.where(lmdas >= 0.0, Fls,
                                jnp.where(lmr >= 0.0, Frs, Fr)))
+
+
+# ===========================================================================
+# SR MHD (hlle_sr.c / hlld_sr.c MHD sections)
+#
+# 7-variable sweep stacks (d, Mx, My, Mz, E, By, Bz) with Bx passed
+# separately, matching the Newtonian MHD sweep convention.
+# ===========================================================================
+
+
+def _flux_lr_mhd(U, W, Bx, sim: SimConfig):
+    """flux_LR with the MHD terms (hlle_sr.c:324-375)."""
+    d, Vx, Vy, Vz, P, By, Bz = (W[i] for i in range(7))
+    theta = P / d
+    gmmr = sim.gamma / sim.gamma_1
+    h = 1.0 + gmmr * theta
+    g = U[0] / d
+    g2 = g * g
+    g_2 = 1.0 / g2
+    pt = P
+    wtg2 = d * h * g2
+
+    vB = Vx * Bx + Vy * By + Vz * Bz
+    Bmag2 = Bx ** 2 + By ** 2 + Bz ** 2
+    bx = g * (Bx * g_2 + vB * Vx)
+    by = g * (By * g_2 + vB * Vy)
+    bz = g * (Bz * g_2 + vB * Vz)
+    b2 = Bmag2 * g_2 + vB * vB
+    pt = pt + 0.5 * b2
+    wtg2 = wtg2 + b2 * g2
+
+    return jnp.stack([
+        U[0] * Vx,
+        wtg2 * Vx * Vx + pt - bx * bx,
+        wtg2 * Vy * Vx - by * bx,
+        wtg2 * Vz * Vx - bz * bx,
+        U[1],
+        Vx * By - Bx * Vy,
+        Vx * Bz - Bx * Vz]), pt
+
+
+def _cubic(b, c, d):
+    """CUBIC (hlle_sr.c:726-800): all-real-roots closed form, ascending."""
+    one_3 = 1.0 / 3.0
+    one_27 = 1.0 / 27.0
+    b2 = b * b
+    f = c * (1.0 - 1.0e-16) - b2 * one_3
+    g = b * (2.0 * b2 - 9.0 * c) * one_27 + d
+    i2 = jnp.maximum(-f * f * f * one_27, 0.0)
+    i = jnp.sqrt(i2)
+    j = jnp.cbrt(i)
+    k = jnp.clip(-0.5 * g / jnp.where(i == 0.0, 1.0, i), -1.0, 1.0)
+    k = jnp.where(i == 0.0, jnp.where(g <= 0.0, 1.0, -1.0), k)
+    k = jnp.arccos(k) * one_3
+    m = jnp.cos(k)
+    n = jnp.sqrt(3.0) * jnp.sin(k)
+    p = -b * one_3
+    return (-j * (m + n) + p, -j * (m - n) + p, 2.0 * j * m + p)
+
+
+def _quartic(b, c, d, e):
+    """QUARTIC (hlle_sr.c:626-693).  Returns (z0..z3, fail)."""
+    three_256 = 3.0 / 256.0
+    one_64 = 1.0 / 64.0
+    b2 = b * b
+    f = c - b2 * 0.375
+    g = d + b2 * b * 0.125 - b * c * 0.5
+    h = e - b2 * b2 * three_256 + 0.0625 * b2 * c - 0.25 * b * d
+
+    u0, u1, u2 = _cubic(0.5 * f, (f * f - 4.0 * h) * 0.0625,
+                        -g * g * one_64)
+
+    # branch u[1] < 1e-14: double roots
+    p_a = jnp.sqrt(jnp.abs(u2))
+    s = 0.25 * b
+    za0 = -p_a - s
+    za1 = p_a - s
+
+    p_b = jnp.sqrt(jnp.abs(u1))
+    q_b = jnp.sqrt(jnp.abs(u2))
+    denom = p_b * q_b
+    r = -0.125 * g / jnp.where(denom == 0.0, 1.0, denom)
+    zb0 = -p_b - q_b + r - s
+    zb1 = p_b - q_b - r - s
+    zb2 = -p_b + q_b - r - s
+    zb3 = p_b + q_b + r - s
+
+    dbl = u1 < 1.0e-14
+    z0 = jnp.where(dbl, za0, zb0)
+    z1 = jnp.where(dbl, za1, zb1)
+    z2 = jnp.where(dbl, za0, zb2)
+    z3 = jnp.where(dbl, za1, zb3)
+
+    fail = jnp.zeros_like(b, bool)
+    for z in (z0, z1, z2, z3):
+        res = e + z * (d + z * (c + z * (b + z)))
+        fail = fail | jnp.isnan(res) | (jnp.abs(res) > 1.0e-6)
+    return z0, z1, z2, z3, fail
+
+
+def _vchar_pluto_mhd(W, Bx, sim: SimConfig):
+    """getVChar_pluto with B (hlle_sr.c:392-524).  Returns (lm, lp);
+    failures collapse to (-1, 1) exactly like the reference."""
+    d, Vx, Vy, Vz, P, By, Bz = (W[i] for i in range(7))
+    rhoh = d + (sim.gamma / sim.gamma_1) * P
+    Vx2 = Vx ** 2
+    vsq = Vx2 + Vy ** 2 + Vz ** 2
+    superluminal = vsq > 1.0
+    gamma2 = 1.0 / (1.0 - vsq)
+
+    Bsq = Bx ** 2 + By ** 2 + Bz ** 2
+    vDotB = Vx * Bx + Vy * By + Vz * Bz
+    vDotBsq = vDotB ** 2
+    bx = Bx / gamma2 + Vx * vDotB
+    bsq = Bsq / gamma2 + vDotB ** 2
+
+    cssq = jnp.clip((sim.gamma * P) / rhoh, 0.0, 1.0)
+    bsq = jnp.maximum(bsq, 0.0)
+    vasq = bsq / (rhoh + bsq)
+    bsq = jnp.where(vasq > 1.0, rhoh + bsq, bsq)
+
+    w_1 = 1.0 / (rhoh + bsq)
+
+    # --- branch 1: vsq < 1e-12 (hlle_sr.c:434-448)
+    eps2_s = cssq + bsq * w_1 * (1.0 - cssq)
+    a0_s = cssq * Bx * Bx * w_1
+    a1_s = -a0_s - eps2_s
+    scrh_s = jnp.maximum(a1_s * a1_s - 4.0 * a0_s, 0.0)
+    lam_s = jnp.sqrt(0.5 * (-a1_s + jnp.sqrt(scrh_s)))
+
+    # --- branch 2: Bx < 1e-14 quadratic (hlle_sr.c:452-467)
+    scrh1_q = (1.0 - eps2_s) * gamma2
+    scrh2_q = cssq * vDotBsq * w_1 - eps2_s
+    a2_q = scrh1_q - scrh2_q
+    a1_q = -2.0 * Vx * scrh1_q
+    a0_q = Vx2 * scrh1_q + scrh2_q
+    disc_q = jnp.sqrt(jnp.abs(a1_q * a1_q - 4.0 * a2_q * a0_q))
+    lp_q = 0.5 * (-a1_q + disc_q) / a2_q
+    lm_q = 0.5 * (-a1_q - disc_q) / a2_q
+
+    # --- branch 3: full quartic (hlle_sr.c:469-520)
+    scrh2_f = bx * bx
+    a2_w = cssq * w_1
+    eps2 = (cssq * rhoh + bsq) * w_1
+    one_m_eps2 = gamma2 * rhoh * (1.0 - cssq) * w_1
+    scrh = 2.0 * (a2_w * vDotB * bx - eps2 * Vx)
+    a4 = one_m_eps2 - a2_w * vDotBsq + eps2
+    a3 = -4.0 * Vx * one_m_eps2 + scrh
+    a2 = 6.0 * Vx2 * one_m_eps2 + a2_w * (vDotBsq - scrh2_f) + \
+        eps2 * (Vx2 - 1.0)
+    a1 = -4.0 * Vx * Vx2 * one_m_eps2 - scrh
+    a0 = Vx2 * Vx2 * one_m_eps2 + a2_w * scrh2_f - eps2 * Vx2
+    a4_bad = a4 < 1.0e-12
+    ia4 = 1.0 / jnp.where(a4_bad, 1.0, a4)
+    z0, z1, z2, z3, qfail = _quartic(a3 * ia4, a2 * ia4, a1 * ia4, a0 * ia4)
+    lp_f = jnp.minimum(1.0, jnp.maximum(jnp.maximum(z3, z2),
+                                        jnp.maximum(z1, z0)))
+    lm_f = jnp.maximum(-1.0, jnp.minimum(jnp.minimum(z3, z2),
+                                         jnp.minimum(z1, z0)))
+    fail_f = a4_bad | qfail
+    lp_f = jnp.where(fail_f, 1.0, lp_f)
+    lm_f = jnp.where(fail_f, -1.0, lm_f)
+
+    small_v = vsq < 1.0e-12
+    # NB: the reference's branch test is SIGNED (`Bx < 1.0e-14`,
+    # hlle_sr.c:452) — any negative Bx takes the quadratic limit.  Mirrored
+    # verbatim for parity.
+    small_bx = Bx < 1.0e-14
+    lm = jnp.where(small_v, -lam_s, jnp.where(small_bx, lm_q, lm_f))
+    lp = jnp.where(small_v, lam_s, jnp.where(small_bx, lp_q, lp_f))
+    lm = jnp.where(superluminal, -1.0, lm)
+    lp = jnp.where(superluminal, 1.0, lp)
+    return lm, lp
+
+
+def _vchar_echo_mhd(W, Bx, sim: SimConfig):
+    """getVChar_echo (hlle_sr.c:542-592): fast-speed bound estimate."""
+    d, Vx, Vy, Vz, P, By, Bz = (W[i] for i in range(7))
+    rhoh = d + (sim.gamma / sim.gamma_1) * P
+    vsq = Vx ** 2 + Vy ** 2 + Vz ** 2
+    gamma2 = 1.0 / (1.0 - vsq)
+    Bsq = Bx ** 2 + By ** 2 + Bz ** 2
+    vDotB = Vx * Bx + Vy * By + Vz * Bz
+    bsq = Bsq / gamma2 + vDotB ** 2
+
+    cssq = (sim.gamma * P) / rhoh
+    vasq = bsq / (rhoh + bsq)
+    asq = cssq + vasq - cssq * vasq
+    cssq = jnp.clip(cssq, 0.0, 1.0)
+    vasq = jnp.minimum(vasq, 0.0)   # sic: the reference zeroes vasq>0
+    asq = jnp.clip(asq, 0.0, 1.0)
+
+    tmp1 = 1.0 - asq
+    tmp2 = 1.0 - vsq
+    tmp3 = 1.0 - vsq * asq
+    tmp4 = Vx ** 2
+    tmp5 = 1.0 / tmp3
+    root = jnp.sqrt(asq * tmp2 * (tmp3 - tmp1 * tmp4))
+    vm = (tmp1 * Vx - root) * tmp5
+    vp = (tmp1 * Vx + root) * tmp5
+    return jnp.minimum(vm, vp), jnp.maximum(vm, vp)
+
+
+def _signal_speeds_mhd(Wl, Wr, Bx, sim: SimConfig):
+    """Steps 1-1a of the SR MHD solvers: PLUTO speeds with the ECHO
+    fallback; a bad ECHO result forces (-1,1) and flags switch_to_hll
+    (hlld_sr.c:112-183)."""
+    lml, lpl = _vchar_pluto_mhd(Wl, Bx, sim)
+    lmr, lpr = _vchar_pluto_mhd(Wr, Bx, sim)
+    Sl = jnp.minimum(lml, lmr)
+    Sr = jnp.maximum(lpl, lpr)
+    bad = jnp.isnan(Sl) | jnp.isnan(Sr) | (Sl < -1.0) | (Sr > 1.0)
+
+    eml, epl = _vchar_echo_mhd(Wl, Bx, sim)
+    emr, epr = _vchar_echo_mhd(Wr, Bx, sim)
+    Sle = jnp.minimum(eml, emr)
+    Sre = jnp.maximum(epl, epr)
+    bade = jnp.isnan(Sle) | jnp.isnan(Sre) | (Sle < -1.0) | (Sre > 1.0)
+    Sle = jnp.where(bade, -1.0, Sle)
+    Sre = jnp.where(bade, 1.0, Sre)
+
+    Sl = jnp.where(bad, Sle, Sl)
+    Sr = jnp.where(bad, Sre, Sr)
+    return Sl, Sr, bad & bade
+
+
+def hlle_sr_mhd(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+    """HLLE, SR MHD (hlle_sr.c:64-213)."""
+    Sl, Sr, _ = _signal_speeds_mhd(Wl, Wr, Bxi, sim)
+    Fl, _ = _flux_lr_mhd(Ul, Wl, Bxi, sim)
+    Fr, _ = _flux_lr_mhd(Ur, Wr, Bxi, sim)
+    dS_1 = 1.0 / (Sr - Sl)
+    Fhll = (Sr * Fl - Sl * Fr + Sl * Sr * (Ur - Ul)) * dS_1
+    return jnp.where(Sl >= 0.0, Fl, jnp.where(Sr <= 0.0, Fr, Fhll))
+
+
+def _get_riemann_state(R, S, p, side, Bx):
+    """GET_RIEMANN_STATE (hlld_sr.c:574-616).  R: dict of the jump
+    invariants; returns the per-side state dict."""
+    A = R["M1"] + p * (1.0 - S * S) - S * R["EN"]
+    C = R["B2"] * R["M2"] + R["B3"] * R["M3"]
+    G = R["B2"] * R["B2"] + R["B3"] * R["B3"]
+    X = Bx * (A * S * Bx + C) - (A + G) * (S * p + R["EN"])
+
+    vx = Bx * (A * Bx + C * S) - (R["M1"] + p) * (G + A)
+    vy = (-(A + G - Bx * Bx * (1.0 - S * S)) * R["M2"]
+          + R["B2"] * (C + Bx * (S * R["M1"] - R["EN"])))
+    vz = (-(A + G - Bx * Bx * (1.0 - S * S)) * R["M3"]
+          + R["B3"] * (C + Bx * (S * R["M1"] - R["EN"])))
+
+    scrh = vx * R["M1"] + vy * R["M2"] + vz * R["M3"]
+    scrh = X * R["EN"] - scrh
+    w = p + scrh / (X * S - vx)
+    wfail = w < 0.0
+
+    vx = vx / X
+    vy = vy / X
+    vz = vz / X
+    By = -(R["B2"] * (S * p + R["EN"]) - Bx * R["M2"]) / A
+    Bz = -(R["B3"] * (S * p + R["EN"]) - Bx * R["M3"]) / A
+
+    s = jnp.where(Bx > 0.0, 1.0, -1.0)
+    if side < 0:
+        s = -s
+    sw = s * jnp.sqrt(jnp.abs(w))     # w<0 -> flagged; abs avoids NaN here
+    sw = jnp.where(wfail, jnp.nan, sw)  # keep the reference's NaN semantics
+
+    scrh = 1.0 / (S * p + R["EN"] + Bx * sw)
+    Kx = scrh * (R["M1"] + p + R["B1"] * sw)
+    Ky = scrh * (R["M2"] + R["B2"] * sw)
+    Kz = scrh * (R["M3"] + R["B3"] * sw)
+    K2 = Kx * Kx + Ky * Ky + Kz * Kz
+    return dict(vx=vx, vy=vy, vz=vz, By=By, Bz=Bz, sw=sw, w=w,
+                Kx=Kx, Ky=Ky, Kz=Kz, K2=K2, S=S)
+
+
+def _fstar(RL, RR, Sl, Sr, p, Bx):
+    """Fstar (hlld_sr.c:505-563): evaluate both side states at total
+    pressure p; returns (fun, Sc, PaL, PaR, fail)."""
+    PaL = _get_riemann_state(RL, Sl, p, -1, Bx)
+    PaR = _get_riemann_state(RR, Sr, p, +1, Bx)
+
+    dK = PaR["Kx"] - PaL["Kx"] + 1.0e-12
+    Bxc = Bx * dK
+    Byc = (PaR["By"] * (PaR["Kx"] - PaR["vx"])
+           - PaL["By"] * (PaL["Kx"] - PaL["vx"])
+           + Bx * (PaR["vy"] - PaL["vy"]))
+    Bzc = (PaR["Bz"] * (PaR["Kx"] - PaR["vx"])
+           - PaL["Bz"] * (PaL["Kx"] - PaL["vx"])
+           + Bx * (PaR["vz"] - PaL["vz"]))
+    KLBc = PaL["Kx"] * Bxc + PaL["Ky"] * Byc + PaL["Kz"] * Bzc
+    KRBc = PaR["Kx"] * Bxc + PaR["Ky"] * Byc + PaR["Kz"] * Bzc
+    vxcL = PaL["Kx"] - dK * Bx * (1.0 - PaL["K2"]) / (PaL["sw"] * dK - KLBc)
+    vxcR = PaR["Kx"] - dK * Bx * (1.0 - PaR["K2"]) / (PaR["sw"] * dK - KRBc)
+
+    Sc = 0.5 * (vxcL + vxcR)
+    fun = vxcL - vxcR
+
+    ok = (vxcL - PaL["Kx"]) > -1.0e-6
+    ok = ok & ((PaR["Kx"] - vxcR) > -1.0e-6)
+    ok = ok & ((Sl - PaL["vx"]) < 0.0)
+    ok = ok & ((Sr - PaR["vx"]) > 0.0)
+    ok = ok & ((PaR["w"] - p) > 0.0)
+    ok = ok & ((PaL["w"] - p) > 0.0)
+    ok = ok & ((PaL["Kx"] - Sl) > -1.0e-6)
+    ok = ok & ((Sr - PaR["Kx"]) > -1.0e-6)
+    return fun, Sc, PaL, PaR, ~ok
+
+
+def _get_astate(Pa, R, p, Bx):
+    """GET_ASTATE (hlld_sr.c:621-639): the state behind the fast wave."""
+    scrh = 1.0 / (Pa["S"] - Pa["vx"])
+    DN = R["DN"] * scrh
+    B1 = Bx * jnp.ones_like(DN)
+    B2 = (R["B2"] - Bx * Pa["vy"]) * scrh
+    B3 = (R["B3"] - Bx * Pa["vz"]) * scrh
+    vB = Pa["vx"] * B1 + Pa["vy"] * B2 + Pa["vz"] * B3
+    EN = (R["EN"] + p * Pa["vx"] - vB * Bx) * scrh
+    M1 = (EN + p) * Pa["vx"] - vB * B1
+    M2 = (EN + p) * Pa["vy"] - vB * B2
+    M3 = (EN + p) * Pa["vz"] - vB * B3
+    return dict(DN=DN, M1=M1, M2=M2, M3=M3, EN=EN, B1=B1, B2=B2, B3=B3)
+
+
+def hlld_sr(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+    """HLLD, SR MHD (hlld_sr.c:98-498, Mignone Ugliano & Bodo 2009):
+    five-wave fan with a secant iteration on the total pressure; any
+    failure falls back per-interface to the HLL flux, as the reference
+    does.  Vectorized: the serial secant becomes a masked fixed-trip loop
+    with per-interface freeze/fallback flags."""
+    from ..eos_sr import sr_mhd_check_prim1d
+
+    Sl, Sr, hll0 = _signal_speeds_mhd(Wl, Wr, Bxi, sim)
+    Fl, _ = _flux_lr_mhd(Ul, Wl, Bxi, sim)
+    Fr, _ = _flux_lr_mhd(Ur, Wr, Bxi, sim)
+
+    dS_1 = 1.0 / (Sr - Sl)
+    Uhll = (Sr * Ur - Sl * Ul + Fl - Fr) * dS_1
+    Fhll = (Sr * Fl - Sl * Fr + Sl * Sr * (Ur - Ul)) * dS_1
+
+    RL = dict(DN=Sl * Ul[0] - Fl[0], EN=Sl * Ul[4] - Fl[4],
+              M1=Sl * Ul[1] - Fl[1], M2=Sl * Ul[2] - Fl[2],
+              M3=Sl * Ul[3] - Fl[3], B1=Sl * Bxi * jnp.ones_like(Ul[0]),
+              B2=Sl * Ul[5] - Fl[5], B3=Sl * Ul[6] - Fl[6])
+    RR = dict(DN=Sr * Ur[0] - Fr[0], EN=Sr * Ur[4] - Fr[4],
+              M1=Sr * Ur[1] - Fr[1], M2=Sr * Ur[2] - Fr[2],
+              M3=Sr * Ur[3] - Fr[3], B1=Sr * Bxi * jnp.ones_like(Ur[0]),
+              B2=Sr * Ur[5] - Fr[5], B3=Sr * Ur[6] - Fr[6])
+    Bx = Bxi * jnp.ones_like(Ul[0])
+
+    # --- initial pressure guess (hlld_sr.c:299-324)
+    a_q = Sr - Sl
+    b_q = RR["EN"] - RL["EN"] + Sr * RL["M1"] - Sl * RR["M1"]
+    c_q = RL["M1"] * RR["EN"] - RR["M1"] * RL["EN"]
+    scrh = jnp.maximum(b_q * b_q - 4.0 * a_q * c_q, 0.0)
+    p0_quad = 0.5 * (-b_q + jnp.sqrt(scrh)) * dS_1
+
+    Whll = sr_mhd_check_prim1d(Uhll, Bx, sim)
+    vel2 = Whll[1] ** 2 + Whll[2] ** 2 + Whll[3] ** 2
+    Bmag2 = Bx ** 2 + Whll[5] ** 2 + Whll[6] ** 2
+    vB_h = Whll[1] * Bx + Whll[2] * Whll[5] + Whll[3] * Whll[6]
+    p0_hll = Whll[4] + 0.5 * (Bmag2 * (1.0 - vel2) + vB_h * vB_h)
+    small_b = Bx * Bx / jnp.maximum(Wl[4], Wr[4]) < 0.01
+    p0 = jnp.where(small_b, p0_quad, p0_hll)
+
+    f0, Sc0, PaL0, PaR0, fail0 = _fstar(RL, RR, Sl, Sr, p0, Bx)
+    hll = hll0 | jnp.isnan(f0) | fail0
+
+    # --- secant loop (hlld_sr.c:346-367): masked fixed-trip vectorization
+    # of the serial per-interface iteration with its exact break rules
+    skip = (jnp.abs(f0) <= 1.0e-12) | hll
+    state = dict(p=jnp.where(skip, p0, 1.025 * p0), p0=p0,
+                 f=f0, f0=f0, Sc=Sc0, PaL=PaL0, PaR=PaR0,
+                 done=skip, hll=hll)
+
+    for k in range(1, 9):
+        fun, Sc, PaL, PaR, fail = _fstar(RL, RR, Sl, Sr, state["p"], Bx)
+        bad = jnp.isnan(fun) | fail | (k > 7) | \
+            ((jnp.abs(fun) > jnp.abs(state["f0"])) & (k > 4))
+        act = ~state["done"]
+        new_hll = act & bad
+        # commit this evaluation's side states for active lanes
+        merge = lambda old, new: {kk: jnp.where(act, new[kk], old[kk])
+                                  for kk in old}
+        state["PaL"] = merge(state["PaL"], PaL)
+        state["PaR"] = merge(state["PaR"], PaR)
+        state["Sc"] = jnp.where(act, Sc, state["Sc"])
+        state["f"] = jnp.where(act, fun, state["f"])
+        dp = (state["p"] - state["p0"]) / (fun - state["f0"]) * fun
+        pn = state["p"] - dp
+        pn = jnp.where(pn < 0.0, 1.0e-6, pn)
+        upd = act & ~bad
+        state["p0"] = jnp.where(upd, state["p"], state["p0"])
+        state["f0"] = jnp.where(upd, fun, state["f0"])
+        state["p"] = jnp.where(upd, pn, state["p"])
+        conv = (jnp.abs(dp) < 1.0e-5 * pn) | (jnp.abs(fun) < 1.0e-6)
+        state["hll"] = state["hll"] | new_hll
+        state["done"] = state["done"] | new_hll | (upd & conv)
+
+    p = state["p"]
+    PaL, PaR, Sc = state["PaL"], state["PaR"], state["Sc"]
+    hll = state["hll"] | jnp.isnan(state["f"])
+
+    # --- assemble the four candidate fluxes (hlld_sr.c:378-496)
+    uaL = _get_astate(PaL, RL, p, Bx)
+    uaR = _get_astate(PaR, RR, p, Bx)
+    SaL = PaL["Kx"]
+    SaR = PaR["Kx"]
+
+    FaL = jnp.stack([Fl[0] + Sl * (uaL["DN"] - Ul[0]),
+                     Fl[1] + Sl * (uaL["M1"] - Ul[1]),
+                     Fl[2] + Sl * (uaL["M2"] - Ul[2]),
+                     Fl[3] + Sl * (uaL["M3"] - Ul[3]),
+                     Fl[4] + Sl * (uaL["EN"] - Ul[4]),
+                     Fl[5] + Sl * (uaL["B2"] - Ul[5]),
+                     Fl[6] + Sl * (uaL["B3"] - Ul[6])])
+    FaR = jnp.stack([Fr[0] + Sr * (uaR["DN"] - Ur[0]),
+                     Fr[1] + Sr * (uaR["M1"] - Ur[1]),
+                     Fr[2] + Sr * (uaR["M2"] - Ur[2]),
+                     Fr[3] + Sr * (uaR["M3"] - Ur[3]),
+                     Fr[4] + Sr * (uaR["EN"] - Ur[4]),
+                     Fr[5] + Sr * (uaR["B2"] - Ur[5]),
+                     Fr[6] + Sr * (uaR["B3"] - Ur[6])])
+
+    # contact (C) state (GET_CSTATE, hlld_sr.c:646-716)
+    dK = (PaR["Kx"] - PaL["Kx"]) + 1.0e-12
+    Byc = (PaR["By"] * (PaR["Kx"] - PaR["vx"])
+           - PaL["By"] * (PaL["Kx"] - PaL["vx"])
+           + Bx * (PaR["vy"] - PaL["vy"])) / dK
+    Bzc = (PaR["Bz"] * (PaR["Kx"] - PaR["vx"])
+           - PaL["Bz"] * (PaL["Kx"] - PaL["vx"])
+           + Bx * (PaR["vz"] - PaL["vz"])) / dK
+    Bxc = Bx
+    KLBc = PaL["Kx"] * Bxc + PaL["Ky"] * Byc + PaL["Kz"] * Bzc
+    KRBc = PaR["Kx"] * Bxc + PaR["Ky"] * Byc + PaR["Kz"] * Bzc
+    scrhL = (1.0 - PaL["K2"]) / (PaL["sw"] - KLBc)
+    scrhR = (1.0 - PaR["K2"]) / (PaR["sw"] - KRBc)
+    vxc = 0.5 * ((PaL["Kx"] - Bxc * scrhL) + (PaR["Kx"] - Bxc * scrhR))
+    vyc = 0.5 * ((PaL["Ky"] - Byc * scrhL) + (PaR["Ky"] - Byc * scrhR))
+    vzc = 0.5 * ((PaL["Kz"] - Bzc * scrhL) + (PaR["Kz"] - Bzc * scrhR))
+
+    useL = vxc > 0.0
+    ua = {kk: jnp.where(useL, uaL[kk], uaR[kk]) for kk in uaL}
+    Sa = jnp.where(useL, SaL, SaR)
+    vxa = jnp.where(useL, PaL["vx"], PaR["vx"])
+
+    vBc = vxc * Bxc + vyc * Byc + vzc * Bzc
+    DNc = ua["DN"] * (Sa - vxa) / (Sa - vxc)
+    ENc = (Sa * ua["EN"] - ua["M1"] + p * vxc - vBc * Bx) / (Sa - vxc)
+    M1c = (ENc + p) * vxc - vBc * Bx
+    M2c = (ENc + p) * vyc - vBc * Byc
+    M3c = (ENc + p) * vzc - vBc * Bzc
+
+    FcL = jnp.stack([FaL[0] + SaL * (DNc - uaL["DN"]),
+                     FaL[1] + SaL * (M1c - uaL["M1"]),
+                     FaL[2] + SaL * (M2c - uaL["M2"]),
+                     FaL[3] + SaL * (M3c - uaL["M3"]),
+                     FaL[4] + SaL * (ENc - uaL["EN"]),
+                     FaL[5] + SaL * (Byc - uaL["B2"]),
+                     FaL[6] + SaL * (Bzc - uaL["B3"])])
+    FcR = jnp.stack([FaR[0] + SaR * (DNc - uaR["DN"]),
+                     FaR[1] + SaR * (M1c - uaR["M1"]),
+                     FaR[2] + SaR * (M2c - uaR["M2"]),
+                     FaR[3] + SaR * (M3c - uaR["M3"]),
+                     FaR[4] + SaR * (ENc - uaR["EN"]),
+                     FaR[5] + SaR * (Byc - uaR["B2"]),
+                     FaR[6] + SaR * (Bzc - uaR["B3"])])
+
+    # region select (hlld_sr.c:378-496), NaN guard -> HLL per interface
+    inner = jnp.where(SaL >= -1.0e-6, FaL,
+                      jnp.where(SaR <= 1.0e-6, FaR,
+                                jnp.where(Sc > 0.0, FcL, FcR)))
+    inner = jnp.where(jnp.any(jnp.isnan(inner), axis=0, keepdims=True),
+                      Fhll, inner)
+    F = jnp.where(hll, Fhll, inner)
+    return jnp.where(Sl >= 0.0, Fl, jnp.where(Sr <= 0.0, Fr, F))
