@@ -228,7 +228,8 @@ def dti_percell(s0_unused, E, d, M1, M2, M3, sim: SimConfig,
 
 def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
                     ion: IonConfig, time, cour_no: float,
-                    inlet=None, tcoarse=None):
+                    inlet=None, tcoarse=None, return_niter=False,
+                    mesh=None):
     """One radiation step: floors + sub-cycled chemistry/heating.
 
     `cour_no` is <time>/cour_no, needed by the compute_dt_hydro stopping
@@ -266,6 +267,14 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
     direction, flux_i = ion.radplanes[0]
     n_planes = len(ion.radplanes)
 
+    # distributed sweep: with the sweep (x) axis sharded over the device
+    # mesh, the attenuation scan runs blockwise with a ppermute-carried
+    # prefix (plane.get_ph_rate_plane_dist); the Eflux carry then splits
+    # into (left faces [sharded], per-shard exit faces) so the hot loop
+    # never reshards an (Nx+1)-face array
+    dist = (mesh is not None and mesh.shape.get("x", 1) > 1
+            and n_planes == 1 and direction == -1 and inlet is None)
+
     def ph_rate_all(s0):
         """Photoionization rate summed over all planes (ionrad_3d.c:926-931);
         EdgeFlux keeps the last plane's values, like the reference."""
@@ -278,7 +287,13 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
                 inflow = inlet_ramp(fx, time, ion)
             else:
                 inflow = jnp.asarray(fx, s0.dtype)
-            kph, eflux = get_ph_rate_plane(s0, inflow, dirn, grid, ion)
+            if dist:
+                from .plane import get_ph_rate_plane_dist
+                kph, el, ex = get_ph_rate_plane_dist(s0, inflow, dirn,
+                                                     grid, ion, mesh)
+                eflux = (el, ex)
+            else:
+                kph, eflux = get_ph_rate_plane(s0, inflow, dirn, grid, ion)
             kph_tot = kph_tot + kph
         return kph_tot, eflux
 
@@ -291,7 +306,7 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
     # Fused Pallas sub-cycle (see pallas_rad.py); formula-identical to the
     # jnp path below — both call rates_percell/update_percell/dti_percell.
     from . import pallas_rad
-    use_pallas = ((not sim.mhd) and inlet is None
+    use_pallas = ((not sim.mhd) and inlet is None and not dist
                   and pallas_rad.supported(sim, grid, ion))
     if use_pallas:
         rates_fn, update_fn = pallas_rad.build(
@@ -302,9 +317,10 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
 
     def body(c: _Carry):
         if use_pallas:
-            (kph, nHdot, edot, lsn, scn, eflux, dt_chem,
-             dt_therm) = rates_fn(c.s0, c.E, c.last_sign, c.sign_count,
-                                  Fin0)
+            # last_sign carries the PACKED (sign, count) int32 code
+            (lsn, eflux, kph, nHdot, edot, dt_chem,
+             dt_therm) = rates_fn(c.s0, c.E, c.last_sign, Fin0)
+            scn = c.sign_count
         else:
             kph, eflux = ph_rate_all(c.s0)
             nHdot, lsn, scn, dtc_cell, edot, dtt_cell = rates_percell(
@@ -356,15 +372,24 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
     ax = abs(direction) - 1
     efshape = list(d.shape)
     efshape[2 - ax] += 1
+    if dist:
+        eflux0 = (jnp.zeros(d.shape, d.dtype),
+                  jnp.zeros(d.shape[:2] + (mesh.shape["x"],), d.dtype))
+    else:
+        eflux0 = jnp.zeros(efshape, d.dtype)
     init = _Carry(
         E=E0, s0=s00,
-        last_sign=jnp.zeros(d.shape, jnp.int32),
-        sign_count=jnp.zeros(d.shape, jnp.int32),
+        # pallas path: ONE packed (sign, count) code array (pack(0,0)=1)
+        # and a dummy scalar; jnp path: the two separate fields
+        last_sign=(jnp.ones(d.shape, jnp.int32) if use_pallas
+                   else jnp.zeros(d.shape, jnp.int32)),
+        sign_count=(jnp.zeros((), jnp.int32) if use_pallas
+                    else jnp.zeros(d.shape, jnp.int32)),
         dt_done=jnp.zeros((), d.dtype),
         dt_new=dt0,
         niter=jnp.zeros((), jnp.int32),
         stop=jnp.zeros((), bool),
-        eflux=jnp.zeros(efshape, d.dtype))
+        eflux=eflux0)
     out = jax.lax.while_loop(cond, body, init)
 
     # maxiter exit without a stop condition: dt = dt_done (ionrad_3d.c:1022)
@@ -376,5 +401,12 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
     Unew = state.U.at[(iscal,) + sl].set(out.s0)
     if sim.adiabatic:
         Unew = Unew.at[(IEN,) + sl].set(out.E)
-    new_state = state.replace(U=Unew, Eflux=out.eflux, dt=dt_new)
+    eflux_out = out.eflux
+    if dist:
+        # reassemble the legacy (Nx+1)-face array once, outside the loop
+        eflux_out = jnp.concatenate([out.eflux[0],
+                                     out.eflux[1][..., -1:]], axis=-1)
+    new_state = state.replace(U=Unew, Eflux=eflux_out, dt=dt_new)
+    if return_niter:
+        return new_state, dt_new, out.niter
     return new_state, dt_new

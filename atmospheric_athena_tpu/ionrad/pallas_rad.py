@@ -1,29 +1,39 @@
 """Fused Pallas TPU kernels for the radiation sub-cycle.
 
-The jnp sub-cycle body (driver.ion_radtransfer) costs ~5 ms/iteration at
-256^3 f32 on a v5e — and the production deck runs up to 10000 sub-iterations
-per hydro step (ionrad maxiter), so the per-iteration cost dominates the
-whole simulation.  XLA materializes dozens of intermediates per iteration
-(attenuation scan passes, chemistry temps); these kernels fuse each
-iteration into two VMEM-resident passes separated only by the global
-dt = min(dt_chem, dt_therm) reduction the algorithm requires
-(ionrad_3d.c:941-954):
+The jnp sub-cycle body (driver.ion_radtransfer) materializes dozens of
+intermediates per iteration at 256^3 f32 — and the production deck runs up
+to 10000 sub-iterations per hydro step (ionrad maxiter), so per-iteration
+HBM traffic dominates the whole simulation.  Each iteration becomes two
+VMEM-resident passes separated only by the global dt = min(dt_chem,
+dt_therm) reduction the algorithm requires (ionrad_3d.c:941-954):
 
   K_rates  — plane attenuation sweep (in-VMEM cumulative product along x),
              chemistry + thermal rates via driver.rates_percell, per-block
              partial minima of the rate timesteps.
   K_update — explicit update + floors via driver.update_percell, the
              check_range violation count, and the compute_dt_hydro CFL
-             per-cell maxima, all as per-block partials.
+             per-cell maxima as per-block partials.  (The chemistry is
+             transcendental-heavy — pow/exp per cell — so the kernels are
+             VPU-bound, and recomputing the rates here instead of passing
+             kph/nHdot/edot through HBM was measured SLOWER: +0.7 ms/iter
+             of recompute vs ~0.5 ms/iter of field round-trips at 256^3.)
+
+Traffic-shaving details:
+  - the oscillation-damping state (last_sign, sign_count) rides the carry
+    as ONE packed int32 (count*4 + sign+1) instead of two fields;
+  - the per-cell CFL needs only max_a|M_a| and M^2 (precomputed once per
+    hydro step as Mmax/Msq), not the three momentum fields, when all
+    active dx are equal (the production cubic-cell case) — the values are
+    bitwise identical to dti_percell's because x*di is monotone in x.
 
 Both kernels call the SAME per-cell physics functions as the jnp path
-(driver.rates_percell / update_percell / dti_percell), so the two paths are
-formula-identical; the block-wise min/max/sum partials recombine exactly
-(min/max associativity) — tests/test_pallas.py asserts bitwise equality in
-interpreter mode.
+(driver.rates_percell / update_percell / dti_percell), so the two paths
+are formula-identical; the block-wise min/max/sum partials recombine
+exactly (min/max associativity) — tests/test_pallas.py asserts bitwise
+equality in interpreter mode.
 
 Scope (supported()): single radplane, dir = -1 (the production
-configuration, prob/ioniz_sphere.c:143-161), 3D grid, hydro or MHD.
+configuration, prob/ioniz_sphere.c:143-161), 3D hydro grid.
 """
 
 from __future__ import annotations
@@ -36,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import GridConfig, SimConfig
+from ..defs import TINY_NUMBER
 from .config import MINFLUXFRAC, IonConfig
 
 
@@ -49,9 +60,11 @@ def _by(NY: int) -> int:
 
 def supported(sim: SimConfig, grid: GridConfig, ion: IonConfig) -> bool:
     return (sim.pallas_enabled
+            and not sim.mhd
             and len(ion.radplanes) == 1
             and ion.radplanes[0][0] == -1
             and all(grid.active(a) for a in range(3))
+            and grid.dx[0] == grid.dx[1] == grid.dx[2]
             and grid.Nx[1] % 8 == 0 and _by(grid.Nx[1]) > 0)
 
 
@@ -90,119 +103,154 @@ def _sweep_x(s0, Fin, dx1, cell_len, ion: IonConfig):
     return kph, eflux
 
 
-def _rates_kernel(scal_ref, s0_ref, E_ref, d_ref, kebe_ref, lsn_ref,
-                  scn_ref, dnlim_ref,
-                  kph_ref, nHdot_ref, edot_ref, nsn_ref, ncn_ref,
-                  eflux_ref, dtc_ref, dtt_ref, *,
-                  sim: SimConfig, ion: IonConfig, dx1, cell_len):
+def _unpack(code):
+    return code % 4 - 1, code // 4
+
+
+def _pack(sign, count):
+    return count * 4 + (sign + 1)
+
+
+def _aux(d, Msq, sim, ion):
+    """Recompute the per-cell constants from d and Msq = M1^2+M2^2+M3^2 —
+    bitwise equal to the driver's (hydro) ke_be and _d_nlim expressions,
+    trading a VPU op for an HBM field read each."""
+    from .config import IONFRACFLOOR
+    ke_be = 0.5 * Msq / d
+    d_nlim = jnp.minimum(d * IONFRACFLOOR, ion.d_nlo)
+    return ke_be, d_nlim
+
+
+def _rates_core(s0, E, code, d, Msq, Fin, sim, ion, dx1):
+    """Shared by both kernels: sweep + chemistry/thermal rates."""
     from . import driver
-    Fin = scal_ref[0, 0]
-    s0 = s0_ref[...][0]
-    E = E_ref[...][0]
-    d = d_ref[...][0]
-    ke_be = kebe_ref[...][0]
-    kph, eflux = _sweep_x(s0, Fin, dx1, cell_len, ion)
+    ke_be, d_nlim = _aux(d, Msq, sim, ion)
+    lsn, scn = _unpack(code)
+    kph, eflux = _sweep_x(s0, Fin, dx1, dx1, ion)
     nHdot, nsn, ncn, dtc_cell, edot, dtt_cell = driver.rates_percell(
-        s0, E, d, ke_be, lsn_ref[...][0], scn_ref[...][0], kph,
-        dnlim_ref[...][0], sim, ion)
+        s0, E, d, ke_be, lsn, scn, kph, d_nlim, sim, ion)
+    return kph, eflux, nHdot, edot, nsn, ncn, dtc_cell, dtt_cell
+
+
+def _rates_kernel(scal_ref, s0_ref, E_ref, code_ref, d_ref, Msq_ref,
+                  ncode_ref, eflux_ref, kph_ref, nHdot_ref, edot_ref,
+                  dtc_ref, dtt_ref, *,
+                  sim: SimConfig, ion: IonConfig, dx1):
+    Fin = scal_ref[0, 0]
+    (kph, eflux, nHdot, edot, nsn, ncn, dtc_cell,
+     dtt_cell) = _rates_core(s0_ref[...][0], E_ref[...][0],
+                             code_ref[...][0], d_ref[...][0],
+                             Msq_ref[...][0], Fin, sim, ion, dx1)
+    ncode_ref[...] = _pack(nsn, ncn)[None]
+    eflux_ref[...] = eflux[None]
     kph_ref[...] = kph[None]
     nHdot_ref[...] = nHdot[None]
     edot_ref[...] = edot[None]
-    nsn_ref[...] = nsn[None]
-    ncn_ref[...] = ncn[None]
-    eflux_ref[...] = eflux[None]
     # per-block partials as broadcast (8,128) tiles — Mosaic's minimum
-    # writable block; recombined with exact min/max/sum in the caller
+    # writable block; recombined with exact min/max in the caller
     dtc_ref[...] = jnp.full(dtc_ref.shape, jnp.min(dtc_cell),
                             dtc_cell.dtype)
     dtt_ref[...] = jnp.full(dtt_ref.shape, jnp.min(dtt_cell),
                             dtt_cell.dtype)
 
 
-def _update_kernel(scal_ref, s0_ref, E_ref, d_ref, kebe_ref, kph_ref,
-                   nHdot_ref, edot_ref, dnlim_ref, M1_ref, M2_ref, M3_ref,
-                   ei_ref, ethi_ref, xi_ref,
+def _update_kernel(scal_ref, s0_ref, E_ref, d_ref, Msq_ref, Mmax_ref,
+                   kph_ref, nHdot_ref, edot_ref, ei_ref, xi_ref,
                    E2_ref, s02_ref, viol_ref, dti_ref, *,
-                   sim: SimConfig, ion: IonConfig, grid: GridConfig):
+                   sim: SimConfig, ion: IonConfig, dx1):
     from . import driver
     dt = scal_ref[0, 0]
+    s0 = s0_ref[...][0]
+    E = E_ref[...][0]
     d = d_ref[...][0]
-    ke_be = kebe_ref[...][0]
+    Msq = Msq_ref[...][0]
+    ke_be, d_nlim = _aux(d, Msq, sim, ion)
+    ei = ei_ref[...][0]
+    ethi = ei - ke_be   # bitwise: driver._temp's e_th = E0_floored - ke_be
     E2, s02, viol = driver.update_percell(
-        s0_ref[...][0], E_ref[...][0], d, ke_be, nHdot_ref[...][0],
-        edot_ref[...][0], kph_ref[...][0], dt, dnlim_ref[...][0],
-        ei_ref[...][0], ethi_ref[...][0], xi_ref[...][0], sim, ion)
-    M1, M2, M3 = M1_ref[...][0], M2_ref[...][0], M3_ref[...][0]
-    dti = driver.dti_percell(None, E2, d, M1, M2, M3, sim, grid)
+        s0, E, d, ke_be, nHdot_ref[...][0], edot_ref[...][0],
+        kph_ref[...][0], dt, d_nlim, ei, ethi, xi_ref[...][0], sim, ion)
+
+    # compute_dt_hydro with precomputed max_a|M_a| / M^2: bitwise equal to
+    # dti_percell for equal dx (driver docstring / module docstring)
+    di = 1.0 / d
+    qsq = Msq * di * di
+    if sim.adiabatic:
+        p = jnp.maximum(sim.gamma_1 * (E2 - 0.5 * d * qsq), TINY_NUMBER)
+        asq = sim.gamma * p * di
+    else:
+        asq = jnp.full_like(E2, sim.iso_csound ** 2)
+    dti = (Mmax_ref[...][0] * di + jnp.sqrt(asq)) / dx1
+
     E2_ref[...] = E2[None]
     s02_ref[...] = s02[None]
     viol_ref[...] = jnp.full(viol_ref.shape, jnp.sum(viol), viol.dtype)
     dti_ref[...] = jnp.full(dti_ref.shape, jnp.max(dti), dti.dtype)
 
 
-def _specs(NX, by, nv_dtype_blocks, extra_lane=0):
-    blk = (1, by, NX + extra_lane)
-    imap = lambda i, j: (i, j, 0)
-    return pl.BlockSpec(blk, imap)
-
-
 def build(sim: SimConfig, grid: GridConfig, ion: IonConfig, d, ke_be,
           M1, M2, M3, e_init, e_th_init, x_init, d_nlim):
     """Returns (rates_fn, update_fn) closed over the per-step constants.
 
-    rates_fn(s0, E, lsn, scn, Fin) ->
-        (kph, nHdot, edot, nsn, ncn, eflux, dt_chem, dt_therm)
-    update_fn(s0, E, kph, nHdot, edot, dt) ->
-        (E2, s02, cellcount, dti_max)
+    rates_fn(s0, E, code, Fin) -> (ncode, eflux, dt_chem, dt_therm)
+    update_fn(s0, E, code, Fin, dt) -> (E2, s02, cellcount, dti_max)
+    with `code` the packed (last_sign, sign_count) int32 carry.
     """
     NZ, NY, NX = d.shape
     by = _by(NY)
     grid_dims = (NZ, NY // by)
     interp = jax.default_backend() not in ("tpu",)
     dt_f = d.dtype
+    dx1 = grid.dx[0]
 
-    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                        memory_space=pltpu.SMEM)
-    fld = _specs(NX, by, None)
-    efl = _specs(NX, by, None, extra_lane=1)
+    # per-step precomputes for the CFL stop criterion (see module doc)
+    Mmax = jnp.maximum(jnp.abs(M1), jnp.maximum(jnp.abs(M2), jnp.abs(M3)))
+    Msq = M1 ** 2 + M2 ** 2 + M3 ** 2
+
+    blk = (1, by, NX)
+    imap = lambda i, j: (i, j, 0)
+    fld = pl.BlockSpec(blk, imap)
+    efl = pl.BlockSpec((1, by, NX + 1), imap)
     part = pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0))
     pshape = jax.ShapeDtypeStruct(grid_dims + (8, 128), dt_f)
     fshape = jax.ShapeDtypeStruct((NZ, NY, NX), dt_f)
     ishape = jax.ShapeDtypeStruct((NZ, NY, NX), jnp.int32)
     eshape = jax.ShapeDtypeStruct((NZ, NY, NX + 1), dt_f)
 
+    def smem(n):
+        return pl.BlockSpec((1, n), lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+
     rates_call = pl.pallas_call(
-        functools.partial(_rates_kernel, sim=sim, ion=ion,
-                          dx1=grid.dx[0], cell_len=grid.dx[0]),
+        functools.partial(_rates_kernel, sim=sim, ion=ion, dx1=dx1),
         grid=grid_dims,
-        in_specs=[smem] + [fld] * 4 + [fld] * 2 + [fld],
-        out_specs=(fld, fld, fld, fld, fld, efl, part, part),
-        out_shape=(fshape, fshape, fshape, ishape, ishape, eshape,
-                   pshape, pshape),
+        in_specs=[smem(1)] + [fld] * 5,
+        out_specs=(fld, efl, fld, fld, fld, part, part),
+        out_shape=(ishape, eshape, fshape, fshape, fshape, pshape,
+                   pshape),
         interpret=interp,
     )
 
     update_call = pl.pallas_call(
-        functools.partial(_update_kernel, sim=sim, ion=ion, grid=grid),
+        functools.partial(_update_kernel, sim=sim, ion=ion, dx1=dx1),
         grid=grid_dims,
-        in_specs=[smem] + [fld] * 14,
+        in_specs=[smem(1)] + [fld] * 10,
         out_specs=(fld, fld, part, part),
         out_shape=(fshape, fshape, pshape, pshape),
         interpret=interp,
     )
 
-    def rates_fn(s0, E, lsn, scn, Fin):
-        out = rates_call(jnp.asarray(Fin, dt_f).reshape(1, 1),
-                         s0, E, d, ke_be, lsn, scn, d_nlim)
-        kph, nHdot, edot, nsn, ncn, eflux, dtc_p, dtt_p = out
-        return (kph, nHdot, edot, nsn, ncn, eflux,
+    def rates_fn(s0, E, code, Fin):
+        ncode, eflux, kph, nHdot, edot, dtc_p, dtt_p = rates_call(
+            jnp.asarray(Fin, dt_f).reshape(1, 1),
+            s0, E, code, d, Msq)
+        return (ncode, eflux, kph, nHdot, edot,
                 jnp.min(dtc_p[..., 0, 0]), jnp.min(dtt_p[..., 0, 0]))
 
     def update_fn(s0, E, kph, nHdot, edot, dt):
-        out = update_call(jnp.asarray(dt, dt_f).reshape(1, 1),
-                          s0, E, d, ke_be, kph, nHdot, edot, d_nlim,
-                          M1, M2, M3, e_init, e_th_init, x_init)
-        E2, s02, viol_p, dti_p = out
+        E2, s02, viol_p, dti_p = update_call(
+            jnp.asarray(dt, dt_f).reshape(1, 1),
+            s0, E, d, Msq, Mmax, kph, nHdot, edot, e_init, x_init)
         return (E2, s02, jnp.sum(viol_p[..., 0, 0]),
                 jnp.max(dti_p[..., 0, 0]))
 

@@ -93,3 +93,78 @@ def get_ph_rate_plane(s0, inflow, direction: int, grid: GridConfig,
     kph = jnp.moveaxis(kph, -1, adim)
     edge = jnp.moveaxis(edge, -1, adim)
     return kph, edge
+
+
+def get_ph_rate_plane_dist(s0, inflow, direction: int, grid: GridConfig,
+                           ion: IonConfig, mesh):
+    """Distributed dir=-1 sweep with the x (sweep) axis SHARDED.
+
+    The reference parallelizes the attenuation recurrence as a rank
+    pipeline along the radiation axis (ionradplane_3d.c:226-318); the
+    TPU-native equivalent (SURVEY.md §5.7) is a blockwise two-pass scan:
+    each x-shard computes its local cumulative transmittance, the per-shard
+    totals are combined with a ppermute-carried exclusive scan (O(log P)
+    collective steps), and the local faces are offset by the incoming
+    prefix.  Reassociates the product — equal to the serial sweep to
+    roundoff, like the Pallas in-VMEM scan.
+
+    Returns (kph [sharded like s0], edge_left [Nz,Ny,Nx sharded],
+    edge_shard_exits [Nz,Ny,P]) — the global downstream face is
+    edge_shard_exits[..., -1]; the full legacy (Nx+1)-face array is
+    concat(edge_left, edge_shard_exits[..., -1:]).
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _sm(f, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs)
+
+    assert direction == -1, "distributed sweep: dir=-1 only"
+    nP = mesh.shape["x"]
+
+    def body(s0_blk, Fin):
+        idxs = jax.lax.axis_index("x")
+        n_H = s0_blk / ion.m_H
+        tau = ion.sigma_ph * n_H * grid.dx[0]
+        etau = jnp.exp(-tau)
+        T_incl = jnp.cumprod(etau, axis=-1)
+        tot = T_incl[..., -1:]
+
+        # exclusive product-scan of shard totals (Hillis-Steele over the
+        # ring; non-receivers get ppermute zeros, masked back to 1)
+        x_ = tot
+        k = 1
+        while k < nP:
+            sh = jax.lax.ppermute(x_, "x",
+                                  [(i, i + k) for i in range(nP - k)])
+            x_ = x_ * jnp.where(idxs >= k, sh, jnp.ones_like(sh))
+            k *= 2
+        exc = jax.lax.ppermute(x_, "x", [(i, i + 1) for i in range(nP - 1)])
+        exc = jnp.where(idxs == 0, jnp.ones_like(exc), exc)
+
+        ones = jnp.ones_like(T_incl[..., :1])
+        T_faces = jnp.concatenate([ones, T_incl], axis=-1) * exc
+        F_faces = Fin * T_faces
+        frac = F_faces / (Fin + 1e-12)
+        n = s0_blk.shape[-1]
+        iarr = jnp.arange(n + 1).reshape((1, 1, n + 1))
+        alive = ((iarr == 0) & (idxs == 0)) | (frac >= MINFLUXFRAC)
+        kph = alive[..., :n] * F_faces[..., :n] * (1.0 - etau) / \
+            (n_H * grid.dx[0])
+        edge = jnp.where(alive, F_faces, 0.0)
+        return kph, edge[..., :n], edge[..., n:]
+
+    Fin = jnp.asarray(inflow, s0.dtype)
+    return shard_map(body, mesh,
+                     in_specs=(P("z", "y", "x"), P()),
+                     out_specs=(P("z", "y", "x"), P("z", "y", "x"),
+                                P("z", "y", "x")))(s0, Fin)

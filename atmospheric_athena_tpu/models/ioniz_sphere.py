@@ -134,10 +134,12 @@ class IonizSphere:
         (Userwork_in_loop, ioniz_sphere.c:283-293)."""
         inside, myrho, myE = self._reset_fields(state.U.dtype, sim, grid)
 
+        # one pass: stack the reset values per variable and select — six
+        # .at[].set's would each materialize a full copy of U
         U = state.U
-        U = U.at[ID].set(jnp.where(inside, myrho, U[ID]))
-        for m in range(3):
-            U = U.at[IM1 + m].set(jnp.where(inside, 0.0, U[IM1 + m]))
-        U = U.at[IEN].set(jnp.where(inside, myE, U[IEN]))
-        U = U.at[5].set(jnp.where(inside, myrho, U[5]))
+        zero = jnp.zeros_like(myrho)
+        rows = [myrho, zero, zero, zero, myE, myrho]
+        rows += [U[i] for i in range(len(rows), U.shape[0])]  # extra scalars
+        Ureset = jnp.stack(rows)
+        U = jnp.where(inside[None], Ureset, U)
         return state.replace(U=U)

@@ -82,6 +82,9 @@ class Simulation:
         self.tlim = par.getd_def("time", "tlim", 1.0)
         self.nlim = par.geti_def("time", "nlim", -1)
         self._jit_step = None
+        # optional jax.sharding.Mesh for multichip runs: enables the
+        # distributed (x-sharded) radiation scan inside the step
+        self.mesh = None
 
     # ------------------------------------------------------------------ setup
 
@@ -204,7 +207,8 @@ class Simulation:
             if ion is not None:
                 state = state.replace(dt=dt)
                 state, dt = ion_radtransfer(state, sim, grid, ion,
-                                            state.time, cour_no)
+                                            state.time, cour_no,
+                                            mesh=self.mesh)
                 state = bvals.apply_bc(state, grid, sim, problem)
 
             if selfg_pars is not None:

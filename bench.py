@@ -1,16 +1,29 @@
 #!/usr/bin/env python
-"""Benchmark: zone-cycles/second on the production ioniz_sphere step.
+"""Benchmark: zone-cycles/second on the production ioniz_sphere step,
+with roofline accounting.
 
 Runs the full production step (radiation sub-cycle + 3D CTU hydro +
 H-correction + PlanetPot gravity + inner-core reset) at 256**3, float32, on
 whatever accelerator JAX finds (the real TPU chip under the driver), and
-prints ONE JSON line.
+prints ONE JSON line.  The headline metric (zone-cycles/s, ionrad
+maxiter=50) is defined identically to earlier rounds for comparability;
+the extra keys break the step down:
+
+  hydro_ms / hydro_bytes_per_cell / hydro_hbm_gbps / hydro_roofline_pct —
+      the CTU hydro step alone: wall time, XLA cost_analysis bytes moved
+      per cell, achieved HBM bandwidth, and the fraction of the v5e's
+      ~819 GB/s peak that represents (the step is bandwidth-bound).
+  rad_ms_per_iter / rad_iters_step1_unclamped —
+      per-sub-iteration radiation cost, and the REAL iteration count of
+      the first production step when maxiter is left at the deck's value
+      (the early steps are radiation-dominated; the headline bench bounds
+      them at 50 iterations per step for a stable workload).
 
 vs_baseline: the reference C code has no published numbers (BASELINE.md);
 the baseline used here is the measured serial throughput of the reference
 binary on this machine's CPU for the same 64^3 configuration
-(zone-cycles/wall-second = 3.11e5, .refbuild/run/isph/athena.log) — i.e.
-vs_baseline = our zone-cycles/s per chip / reference zone-cycles/s per core.
+(zone-cycles/wall-second = 3.11e5) — i.e. vs_baseline = our
+zone-cycles/s per chip / reference zone-cycles/s per core.
 """
 
 import json
@@ -21,6 +34,7 @@ import time
 N = int(os.environ.get("BENCH_N", "256"))
 STEPS = int(os.environ.get("BENCH_STEPS", "5"))
 REF_BASELINE = 3.11e5  # reference C serial zone-cycles/s on this host
+HBM_PEAK = 819e9       # TPU v5e HBM bandwidth (bytes/s)
 
 
 def main():
@@ -32,8 +46,12 @@ def main():
                       os.path.join(here, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here)
+    import jax.numpy as jnp
+
     from atmospheric_athena_tpu import ParameterDB, Simulation
+    from atmospheric_athena_tpu.integrators import ctu3d
+    from atmospheric_athena_tpu.ionrad.driver import ion_radtransfer
     from __graft_entry__ import _ISPH_DECK
 
     par = ParameterDB.from_string(_ISPH_DECK.format(n=N))
@@ -41,11 +59,9 @@ def main():
     par.set("time", "nlim", 10000)
     s = Simulation.from_par(par, problem="ioniz_sphere", dtype="float32")
 
-    import jax.numpy as jnp
-
     def sync():
         # real device round-trip: block_until_ready is a no-op on the
-        # remote axon backend (see memory: axon-cpu-hang)
+        # remote axon backend
         return float(jnp.sum(s.state.U[0, 8]))
 
     # warmup/compile: two steps (the second covers the Eflux None->array
@@ -53,26 +69,71 @@ def main():
     s.step()
     s.step()
     sync()
+    state = s.state
 
+    # --- component: hydro-only, with cost-analysis roofline ---------------
+    hyd = jax.jit(lambda st: ctu3d.step(st, st.dt, s.sim, s.grid,
+                                        s.problem))
+    out = hyd(state)
+    float(jnp.sum(out.U[0, 8]))
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = hyd(state)
+    float(jnp.sum(out.U[0, 8]))
+    hydro_s = (time.perf_counter() - t0) / STEPS
+    ca = hyd.lower(state).compile().cost_analysis()
+    hydro_bytes = ca.get("bytes accessed", 0.0)
+    hydro_bpc = hydro_bytes / N ** 3
+    hydro_bw = hydro_bytes / hydro_s
+
+    # --- component: radiation per-iteration (maxiter=50 sub-cycle) --------
+    rad = jax.jit(lambda st: ion_radtransfer(
+        st, s.sim, s.grid, s.ion, st.time, s.cour_no,
+        return_niter=True))
+    _, _, n50 = rad(state)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        r, _, n50 = rad(state)
+    float(jnp.sum(r.U[0]) + 0 * n50)
+    rad_s = (time.perf_counter() - t0) / 3
+    n50 = int(n50)
+    rad_per_iter = rad_s / max(n50, 1)
+
+    # --- the REAL first-step iteration count, unclamped -------------------
+    par2 = ParameterDB.from_string(_ISPH_DECK.format(n=N))
+    s2 = Simulation.from_par(par2, problem="ioniz_sphere", dtype="float32")
+    from atmospheric_athena_tpu.ionrad.config import ion_config_from_par
+    ion_unc = ion_config_from_par(
+        par2, s2.grid, radplanes=s2.problem.radplanes, time_ramp=True)
+    rad_unc = jax.jit(lambda st: ion_radtransfer(
+        st, s2.sim, s2.grid, ion_unc, st.time, s2.cour_no,
+        return_niter=True))
+    _, _, niter_unc = rad_unc(s2.state)
+    niter_unc = int(niter_unc)
+
+    # --- headline: full production step -----------------------------------
     t0 = time.perf_counter()
     for _ in range(STEPS):
         s.step()
     sync()
-    wall = time.perf_counter() - t0
+    wall = (time.perf_counter() - t0) / STEPS
 
     zones = N ** 3
-    zcps = zones * STEPS / wall
+    zcps = zones / wall
     print(json.dumps({
         "metric": "zone_cycles_per_second",
         "value": zcps,
-        # the radiation sub-cycle is capped at maxiter=50 per step for a
-        # bounded workload; the production deck allows 10000 and the early
-        # ioniz_sphere steps genuinely use them (measured: the unclamped
-        # sub-cycle runs ~10000 iterations/step from t=0), so per-iteration
-        # radiation cost dominates production wall time.
         "unit": "zone-cycles/s/chip (ioniz_sphere %d^3 f32, full step, "
                 "ionrad maxiter=50)" % N,
         "vs_baseline": zcps / REF_BASELINE,
+        "step_ms": wall * 1e3,
+        "hydro_ms": hydro_s * 1e3,
+        "hydro_bytes_per_cell": round(hydro_bpc, 1),
+        "hydro_hbm_gbps": round(hydro_bw / 1e9, 1),
+        "hydro_roofline_pct": round(100.0 * hydro_bw / HBM_PEAK, 1),
+        "rad_ms_per_iter": round(rad_per_iter * 1e3, 3),
+        "rad_iters_per_step_bench": n50,
+        "rad_iters_step1_unclamped": niter_unc,
     }))
 
 

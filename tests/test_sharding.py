@@ -108,3 +108,67 @@ def test_sharded_ioniz_sphere_step():
     E1 = np.asarray(out1.Eflux)
     np.testing.assert_allclose(np.asarray(out8.Eflux), E1, rtol=0,
                                atol=1e-11 * np.abs(E1).max())
+
+
+@pytest.mark.slow
+def test_distributed_radiation_scan_x_sharded():
+    """The sweep (x) axis sharded over 4 devices: the radiation sub-cycle
+    uses the blockwise ppermute-carried prefix scan
+    (plane.get_ph_rate_plane_dist) instead of a shard-local cumprod —
+    the round-2 Eflux pin P('z','y',None) is gone.  Must reproduce the
+    serial step to roundoff (the scan reassociates the product)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _ISPH_DECK
+    par = ParameterDB.from_string(_ISPH_DECK.format(n=16))
+    s = Simulation.from_par(par, problem="ioniz_sphere", dtype="float64")
+
+    out1 = jax.jit(s._build_step().__wrapped__)(s.state)
+
+    mesh = make_mesh(8, shape=(1, 2, 4))
+    s.mesh = mesh
+    s._jit_step = None
+    fn = s._build_step().__wrapped__
+    sh = state_shardings(mesh, s.sim)
+    stS = shard_state(s.state, mesh, s.sim)
+    out8 = jax.jit(fn, in_shardings=(sh,), out_shardings=sh)(stS)
+
+    U1 = np.asarray(out1.U)
+    U8 = np.asarray(out8.U)
+    for k in range(U1.shape[0]):
+        scale = np.abs(U1[k]).max() or 1.0
+        np.testing.assert_allclose(U8[k], U1[k], rtol=0,
+                                   atol=1e-11 * scale)
+    assert float(out8.dt) == pytest.approx(float(out1.dt), rel=1e-12)
+    E1 = np.asarray(out1.Eflux)
+    np.testing.assert_allclose(np.asarray(out8.Eflux), E1, rtol=0,
+                               atol=1e-11 * np.abs(E1).max())
+
+
+@pytest.mark.slow
+def test_explicit_halo_step_matches_serial():
+    """Explicit shard_map + ppermute halo step (parallel/overlap.py) at the
+    production nghost=4, with halo exchange composed against physical
+    (periodic) BCs: must reproduce the serial CTU step on the interior."""
+    from atmospheric_athena_tpu import bvals
+    from atmospheric_athena_tpu.integrators import ctu3d
+    from atmospheric_athena_tpu.parallel.overlap import hydro_step_sharded
+
+    par = ParameterDB.from_string(BLAST3D_DECK)
+    s = Simulation.from_par(par)
+    state = s.state
+    dt = state.dt
+
+    ref = ctu3d.step(state, dt, s.sim, s.grid, problem=None)
+    ref = bvals.apply_bc(ref, s.grid, s.sim, None)
+
+    mesh = make_mesh(8, shape=(2, 2, 2))
+    sh = state_shardings(mesh, s.sim)
+    stS = shard_state(state, mesh, s.sim)
+    out = jax.jit(lambda st: hydro_step_sharded(st, dt, s.sim, s.grid,
+                                                mesh),
+                  in_shardings=(sh,), out_shardings=sh)(stS)
+    out = bvals.apply_bc(out, s.grid, s.sim, None)
+
+    np.testing.assert_allclose(np.asarray(out.U), np.asarray(ref.U),
+                               rtol=0, atol=1e-13)
