@@ -34,20 +34,28 @@ from .state import State
 
 class Level:
     def __init__(self, grid: GridConfig, state: State, problem,
-                 link: Optional[smr.ChildLink]):
+                 link: Optional[smr.ChildLink], lev: int = 0,
+                 parent: Optional[int] = None):
         self.grid = grid
         self.state = state
         self.problem = problem
         self.link = link      # overlap with the parent (None for root)
+        self.lev = lev
+        self.parent = parent  # index into the Level list (None for root)
 
 
 def grids_from_par(par: ParameterDB):
-    """Parse all <domainN> blocks -> [(level, GridConfig, disp)].
-    Child domain extents derive from the parent box + iDisp/jDisp/kDisp
-    (displacements in own-level cells, init_mesh.c)."""
+    """Parse all <domainN> blocks -> [(level, GridConfig, disp, parent)].
+
+    iDisp/jDisp/kDisp are measured in cells OF THIS LEVEL from the ROOT
+    origin (init_mesh.c:375-394: MinX = root_xmin + Disp*dx_own, with the
+    Disp==0 / touches-root-boundary cases snapped exactly to the root
+    box).  The parent is found by spatial containment of the child's
+    index box at level-1 resolution (init_mesh.c:424-446) — the general
+    DomainS[nlevel][ndomain] tree, not a one-domain-per-level chain."""
     doms = []
     root = grid_config_from_par(par)   # domain1
-    doms.append((0, root, (0, 0, 0)))
+    doms.append((0, root, (0, 0, 0), None))
     n = 2
     while par.exist(f"domain{n}", "level"):
         blk = f"domain{n}"
@@ -56,17 +64,39 @@ def grids_from_par(par: ParameterDB):
         disp = (par.geti_def(blk, "iDisp", 0),
                 par.geti_def(blk, "jDisp", 0),
                 par.geti_def(blk, "kDisp", 0))
-        parent = doms[lev - 1][1]
+        irefine = 2 ** lev
         xmin, xmax = [], []
         for a in range(3):
-            dxc = parent.dx[a] / 2.0
-            lo = parent.xmin[a] + disp[a] * dxc
+            if not root.active(a):
+                xmin.append(root.xmin[a])
+                xmax.append(root.xmax[a])
+                continue
+            dxo = root.dx[a] / irefine
+            lo = (root.xmin[a] if disp[a] == 0
+                  else root.xmin[a] + disp[a] * dxo)
+            izones = (disp[a] + Nx[a]) // irefine
+            hi = (root.xmax[a] if izones == root.Nx[a]
+                  else lo + Nx[a] * dxo)
             xmin.append(lo)
-            xmax.append(lo + Nx[a] * dxc if parent.active(a)
-                        else parent.xmax[a])
+            xmax.append(hi)
+        # parent: the level-1 domain whose index box contains this child's
+        # box coarsened to the parent level
+        pidx = None
+        for i, (plev, pg, pdisp, _) in enumerate(doms):
+            if plev != lev - 1:
+                continue
+            if all((not root.active(a))
+                   or (pdisp[a] <= disp[a] // 2
+                       and (disp[a] + Nx[a]) // 2 <= pdisp[a] + pg.Nx[a])
+                   for a in range(3)):
+                pidx = i
+                break
+        if pidx is None:
+            raise ValueError(f"<{blk}>: no level-{lev - 1} domain "
+                             f"contains it (disp={disp}, Nx={Nx})")
         doms.append((lev, GridConfig(Nx=Nx, xmin=tuple(xmin),
-                                     xmax=tuple(xmax), bc=parent.bc),
-                     disp))
+                                     xmax=tuple(xmax), bc=root.bc),
+                     disp, pidx))
         n += 1
     return doms
 
@@ -98,22 +128,30 @@ class MeshSimulation:
         sim = sim_config_from_par(par, **auto)
         doms = grids_from_par(par)
         levels = []
-        for (lev, grid, disp) in doms:
+        for (lev, grid, disp, pidx) in doms:
             prob = prob_cls(par, sim, grid)
             st = prob.init(par, sim, grid)
             link = None
             if lev > 0:
-                link = smr.child_link(doms[lev - 1][1], grid, disp)
-            levels.append(Level(grid, st, prob, link))
+                link = smr.child_link(doms[pidx][1], grid, disp,
+                                      doms[pidx][2])
+            levels.append(Level(grid, st, prob, link, lev=lev,
+                                parent=pidx))
+        # child-before-parent / parent-before-child orderings over the
+        # general tree (deepest level first / last)
+        down = sorted(range(1, len(levels)),
+                      key=lambda i: -levels[i].lev)
+        up = sorted(range(1, len(levels)), key=lambda i: levels[i].lev)
+
         # initial consistency: restrict fine -> coarse, fill BCs, prolong
-        for li in range(len(levels) - 1, 0, -1):
-            p, c = levels[li - 1], levels[li]
+        for li in down:
+            p, c = levels[levels[li].parent], levels[li]
             p.state = p.state.replace(U=smr.restrict_to_parent(
                 p.state.U, c.state.U, p.grid, c.grid, c.link))
         levels[0].state = bvals.apply_bc(levels[0].state, levels[0].grid,
                                          sim, levels[0].problem)
-        for li in range(1, len(levels)):
-            p, c = levels[li - 1], levels[li]
+        for li in up:
+            p, c = levels[levels[li].parent], levels[li]
             c.state = c.state.replace(U=smr.prolong_ghosts(
                 p.state.U, c.state.U, p.grid, c.grid, c.link))
         dt0 = jnp.asarray(
@@ -137,6 +175,9 @@ class MeshSimulation:
         grids = [l.grid for l in levels]
         probs = [l.problem for l in levels]
         links = [l.link for l in levels]
+        parents = [l.parent for l in levels]
+        down = sorted(range(1, nlev), key=lambda i: -levels[i].lev)
+        up = sorted(range(1, nlev), key=lambda i: levels[i].lev)
 
         ion = None
         if sim.ion_radplane:
@@ -152,7 +193,16 @@ class MeshSimulation:
             raise NotImplementedError("SMR driver uses the CTU integrator")
         from .integrators import ctu3d
 
-        def step(states):
+        # per-level constant fields as jit ARGUMENTS (trace-time constants
+        # of hires size overflow the remote-compile payload)
+        dtype = levels[0].state.U.dtype
+        self._step_aux = [
+            (ctu3d._phi_arrays(p_, g, dtype),
+             p_.userwork_aux(dtype, sim, g)
+             if hasattr(p_, "userwork_aux") else None)
+            for g, p_ in zip(grids, probs)]
+
+        def step(states, auxs):
             dt = states[0].dt
             if tlim > 0:
                 dt = jnp.minimum(dt, jnp.maximum(tlim - states[0].time,
@@ -168,9 +218,10 @@ class MeshSimulation:
                                          ions[0], time, cour_no)
                 states[0] = s0
                 tcoarse = dt
-                for li in range(1, nlev):
+                for li in up:
+                    pi = parents[li]
                     inlet = smr.child_inlet_flux(
-                        states[li - 1].Eflux, grids[li - 1], grids[li],
+                        states[pi].Eflux, grids[pi], grids[li],
                         links[li], direction)
                     sl, _ = ion_radtransfer(states[li], sim, grids[li],
                                             ions[li], time, cour_no,
@@ -178,10 +229,11 @@ class MeshSimulation:
                     states[li] = sl
                 # ionradRestrictCorrect: E and s0 fine -> coarse
                 iscal = 5 if sim.adiabatic else 4
-                for li in range(nlev - 1, 0, -1):
-                    states[li - 1] = states[li - 1].replace(
+                for li in down:
+                    pi = parents[li]
+                    states[pi] = states[pi].replace(
                         U=smr.restrict_to_parent(
-                            states[li - 1].U, states[li].U, grids[li - 1],
+                            states[pi].U, states[li].U, grids[pi],
                             grids[li], links[li], nvars=[IEN, iscal]))
 
             # --- hydro on every level with the same dt, saving fluxes
@@ -189,26 +241,32 @@ class MeshSimulation:
             new_states = []
             for li in range(nlev):
                 snew, F = ctu3d.step(states[li], dt, sim, grids[li],
-                                     probs[li], return_fluxes=True)
+                                     probs[li], return_fluxes=True,
+                                     phi=auxs[li][0])
                 new_states.append(snew)
                 fluxes.append(F)
             states = new_states
 
             # --- RestrictCorrect: conserved restriction + flux correction
-            for li in range(nlev - 1, 0, -1):
+            for li in down:
+                pi = parents[li]
                 Up = smr.restrict_to_parent(
-                    states[li - 1].U, states[li].U, grids[li - 1],
+                    states[pi].U, states[li].U, grids[pi],
                     grids[li], links[li])
-                Up = smr.flux_correct(Up, fluxes[li - 1], fluxes[li],
-                                      grids[li - 1], grids[li], links[li],
+                Up = smr.flux_correct(Up, fluxes[pi], fluxes[li],
+                                      grids[pi], grids[li], links[li],
                                       dt)
-                states[li - 1] = states[li - 1].replace(U=Up)
+                states[pi] = states[pi].replace(U=Up)
 
             # --- Userwork (prob/ioniz_sphere.c:255-306 core reset)
             for li in range(nlev):
                 uw = getattr(probs[li], "userwork_in_loop", None)
                 if uw is not None:
-                    states[li] = uw(states[li], sim, grids[li])
+                    if auxs[li][1] is not None:
+                        states[li] = uw(states[li], sim, grids[li],
+                                        aux=auxs[li][1])
+                    else:
+                        states[li] = uw(states[li], sim, grids[li])
 
             # --- time/dt update: min over levels, 2x clamp
             # (new_dt.c:32-198 loops all Grids)
@@ -227,9 +285,10 @@ class MeshSimulation:
             states[0] = bvals.apply_bc(states[0], grids[0], sim, probs[0])
 
             # --- Prolongate: child ghost zones from the parent
-            for li in range(1, nlev):
+            for li in up:
+                pi = parents[li]
                 states[li] = states[li].replace(U=smr.prolong_ghosts(
-                    states[li - 1].U, states[li].U, grids[li - 1],
+                    states[pi].U, states[li].U, grids[pi],
                     grids[li], links[li]))
             return states
 
@@ -238,7 +297,8 @@ class MeshSimulation:
     def step(self):
         if self._jit_step is None:
             self._jit_step = self._build_step()
-        new_states = self._jit_step([l.state for l in self.levels])
+        new_states = self._jit_step([l.state for l in self.levels],
+                                    self._step_aux)
         for l, s in zip(self.levels, new_states):
             l.state = s
 

@@ -18,7 +18,8 @@ from ..state import State
 from .sweep import sh, to_sweep, from_sweep_flux
 
 
-def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
+def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
+         phi=None):   # phi: unused (1D potentials are cheap constants)
     """Advance U by one 1D CTU step along x1.  `dt` is traced."""
     dx1 = grid.dx[0]
     dtodx1 = dt / dx1

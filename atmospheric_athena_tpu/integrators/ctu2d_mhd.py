@@ -53,7 +53,8 @@ def _emf3_corner(F1d, F1By, F2d, F2Bz, ecc):
     return 0.25 * (l1 + r1 + l2 + r2)
 
 
-def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
+def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
+         phi=None):
     assert sim.mhd and grid.ndim == 2 and grid.active(0) and grid.active(1)
     axes = [0, 1]
     dtodx = {a: dt / grid.dx[a] for a in axes}
@@ -63,7 +64,11 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
     U = state.U
     Bcc = state.Bcc
     Bi = [state.B1i, state.B2i]
-    phic, phif = _phi_arrays(problem, grid, U.dtype)
+    # phi passed as a jit ARGUMENT by the drivers (trace-time constants
+    # of this size overflow the remote-compile payload); fallback for
+    # direct calls
+    phic, phif = phi if phi is not None else _phi_arrays(problem, grid,
+                                                         U.dtype)
     ib = 5 if sim.adiabatic else 4
     d = U[ID]
     V = [U[IM1 + c] / d for c in range(3)]

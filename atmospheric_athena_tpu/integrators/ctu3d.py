@@ -86,7 +86,7 @@ def _cfast_cons(Uc, axis, sim: SimConfig, Bx=None):
 
 
 def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
-         phi_sg=None, selfg_pars=None, return_fluxes=False):
+         phi_sg=None, selfg_pars=None, return_fluxes=False, phi=None):
     """One CTU step over all active axes (2 or 3 of them).
 
     phi_sg: self-gravity potential (padded array) solved from rho at t^n;
@@ -101,7 +101,11 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     q = {a: 0.5 * dtodx[a] for a in axes}
 
     U = state.U
-    phic, phif = _phi_arrays(problem, grid, U.dtype)
+    # phi passed as a jit ARGUMENT by the drivers (trace-time constants
+    # of this size overflow the remote-compile payload); fallback for
+    # direct calls
+    phic, phif = phi if phi is not None else _phi_arrays(problem, grid,
+                                                         U.dtype)
 
     # Fused Pallas fast path for the bandwidth-dominant phases (see
     # ops/pallas_hydro.py, ops/pallas_ctu_mid.py); numerically identical

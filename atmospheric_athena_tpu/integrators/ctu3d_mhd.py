@@ -56,7 +56,8 @@ def _dbg(**kw):
         DEBUG.update(kw)
 
 
-def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
+def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
+         phi=None):
     assert sim.mhd and grid.ndim == 3
     axes = [0, 1, 2]
     dtodx = {a: dt / grid.dx[a] for a in axes}
@@ -67,7 +68,11 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
     U = state.U
     Bcc = state.Bcc
     Bi = [state.B1i, state.B2i, state.B3i]
-    phic, phif = _phi_arrays(problem, grid, U.dtype)
+    # phi passed as a jit ARGUMENT by the drivers (trace-time constants
+    # of this size overflow the remote-compile payload); fallback for
+    # direct calls
+    phic, phif = phi if phi is not None else _phi_arrays(problem, grid,
+                                                         U.dtype)
 
     d = U[ID]
     V = [U[IM1 + c] / d for c in range(3)]

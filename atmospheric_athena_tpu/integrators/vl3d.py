@@ -61,21 +61,50 @@ def _sweep_unpack_flux(F, a, sim):
     return vperm_from_sweep(hyd, a, sim), F[ib:ib + 2]
 
 
-def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
+def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
+         phi=None):
     axes = [a for a in range(3) if grid.active(a)]
     assert len(axes) == 3, "vl3d handles 3D; 1D/2D VL pending"
+    sr = sim.special_relativity
+    if sr:
+        # SR hydro (integrate_3d_vl_sr.c): same step map with the SR
+        # variable conversions; SR MHD (CT + Noble inversion in 3D) pending
+        assert not sim.mhd, "3D VL-SR MHD pending"
+        assert sim.nscalars == 0, "scalars pending in SR"
+        assert not sim.first_order_flux_correction, \
+            "SR FOFC fixes (entropy/vsq) pending in 3D"
+        from ..eos_sr import sr_cons1d_to_prim1d, sr_prim1d_to_cons1d
+        from .sweep import var_perm
+        # convert ONCE in physical order (the reference computes W per
+        # cell with Cons_to_Prim before the sweeps,
+        # integrate_3d_vl_sr.c:152-157 — per-axis conversion of the
+        # permuted stack differs in the |M|^2 summation order by ulps)
+        Wphys = sr_cons1d_to_prim1d(state.U, sim)
     dtodx = {a: dt / grid.dx[a] for a in axes}
     q = {a: 0.5 * dtodx[a] for a in axes}
 
     U = state.U
     Bcc = state.Bcc
     Bi = [state.B1i, state.B2i, state.B3i] if sim.mhd else None
-    phic, phif = _phi_arrays(problem, grid, U.dtype)
+    # phi passed as a jit ARGUMENT by the drivers (trace-time constants
+    # of this size overflow the remote-compile payload); fallback for
+    # direct calls
+    phic, phif = phi if phi is not None else _phi_arrays(problem, grid,
+                                                         U.dtype)
 
     # === STEPS 1-3: first-order (donor cell) fluxes at t^n ==================
     Fp, FByz = {}, {}
     for a in axes:
         U1d, Bxc = _sweep_pack(U, Bcc, a, sim)
+        if sr:
+            W = Wphys[var_perm(a, sim), ...]
+            Wl = _sh(W, -1, a)
+            Wr = W
+            Ul = sr_prim1d_to_cons1d(Wl, sim)
+            Ur = sr_prim1d_to_cons1d(Wr, sim)
+            F = riemann.fluxes(Ul, Ur, Wl, Wr, None, sim)
+            Fp[a], FByz[a] = _sweep_unpack_flux(F, a, sim)
+            continue
         W = cons1d_to_prim1d(U1d, Bxc, sim)
         Wl = _sh(W, -1, a)
         Wr = W
@@ -121,9 +150,22 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None):
                 Uhalf = Uhalf.at[IEN].add(-dE)
 
     # === STEPS 7-10: second-order states from Uhalf + full fluxes ===========
+    if sr:
+        Whalf_phys = sr_cons1d_to_prim1d(Uhalf, sim)
     Fp2, FByz2 = {}, {}
     for a in axes:
         U1d, Bxc = _sweep_pack(Uhalf, Bcch, a, sim)
+        if sr:
+            W = Whalf_phys[var_perm(a, sim), ...]
+            Wm, Wp_ = reconstruct.lr_states(W, None, dtodx[a], sim,
+                                            axis=2 - a)
+            Wl = _sh(Wp_, -1, a)
+            Wr = Wm
+            Ul = sr_prim1d_to_cons1d(Wl, sim)
+            Ur = sr_prim1d_to_cons1d(Wr, sim)
+            F = riemann.fluxes(Ul, Ur, Wl, Wr, None, sim)
+            Fp2[a], FByz2[a] = _sweep_unpack_flux(F, a, sim)
+            continue
         W = cons1d_to_prim1d(U1d, Bxc, sim)
         Wm, Wp_ = reconstruct.lr_states(W, Bxc, dtodx[a], sim, axis=2 - a)
         Wl = _sh(Wp_, -1, a)

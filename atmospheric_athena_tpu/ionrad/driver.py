@@ -306,14 +306,18 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
     # Fused Pallas sub-cycle (see pallas_rad.py); formula-identical to the
     # jnp path below — both call rates_percell/update_percell/dti_percell.
     from . import pallas_rad
-    use_pallas = ((not sim.mhd) and inlet is None and not dist
+    use_pallas = ((not sim.mhd) and not dist
                   and pallas_rad.supported(sim, grid, ion))
     if use_pallas:
         rates_fn, update_fn = pallas_rad.build(
             sim, grid, ion, d, ke_be, M1, M2, M3, e_init, e_th_init,
-            x_init, d_nlim)
-        Fin0 = inlet_ramp(flux_i, time, ion) if abs(direction) == 1 \
-            else jnp.asarray(flux_i, d.dtype)
+            x_init, d_nlim, inlet=inlet)
+        if inlet is not None:
+            Fin0 = jnp.zeros((), d.dtype)   # unused in inlet mode
+        elif abs(direction) == 1:
+            Fin0 = inlet_ramp(flux_i, time, ion)
+        else:
+            Fin0 = jnp.asarray(flux_i, d.dtype)
 
     def body(c: _Carry):
         if use_pallas:

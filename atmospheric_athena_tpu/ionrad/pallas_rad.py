@@ -33,7 +33,10 @@ exactly (min/max associativity) — tests/test_pallas.py asserts bitwise
 equality in interpreter mode.
 
 Scope (supported()): single radplane, dir = -1 (the production
-configuration, prob/ioniz_sphere.c:143-161), 3D hydro grid.
+configuration, prob/ioniz_sphere.c:143-161), 3D hydro grid.  SMR fine
+levels are covered too: the per-column parent-EdgeFlux inlet
+(smr.child_inlet_flux) enters as a lane-broadcast (Nz, Ny, 128) field
+instead of the scalar ramped flux.
 """
 
 from __future__ import annotations
@@ -49,6 +52,16 @@ from ..config import GridConfig, SimConfig
 from ..defs import TINY_NUMBER
 from .config import MINFLUXFRAC, IonConfig
 
+
+
+def _cparams():
+    """Raise the scoped-VMEM soft limit: v5e has 128MiB of VMEM and the
+    hires-level tiles (NX=328 pads to 384 lanes) need ~18-30MB of scoped
+    scratch in the sweep kernels (the default soft limit is 16MB)."""
+    if jax.default_backend() not in ("tpu",):
+        return None
+    from jax.experimental.pallas import tpu as _pltpu
+    return _pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 def _by(NY: int) -> int:
     """Largest row-tile that divides NY and is a multiple of 8 (<= 64)."""
@@ -133,10 +146,16 @@ def _rates_core(s0, E, code, d, Msq, Fin, sim, ion, dx1):
 
 
 def _rates_kernel(scal_ref, s0_ref, E_ref, code_ref, d_ref, Msq_ref,
-                  ncode_ref, eflux_ref, kph_ref, nHdot_ref, edot_ref,
-                  dtc_ref, dtt_ref, *,
-                  sim: SimConfig, ion: IonConfig, dx1):
-    Fin = scal_ref[0, 0]
+                  *refs, sim: SimConfig, ion: IonConfig, dx1,
+                  with_inlet: bool):
+    if with_inlet:
+        inlet_ref = refs[0]
+        refs = refs[1:]
+        Fin = inlet_ref[...][0][..., :1]   # (by, 1) per-column inlet
+    else:
+        Fin = scal_ref[0, 0]
+    (ncode_ref, eflux_ref, kph_ref, nHdot_ref, edot_ref,
+     dtc_ref, dtt_ref) = refs
     (kph, eflux, nHdot, edot, nsn, ncn, dtc_cell,
      dtt_cell) = _rates_core(s0_ref[...][0], E_ref[...][0],
                              code_ref[...][0], d_ref[...][0],
@@ -189,12 +208,15 @@ def _update_kernel(scal_ref, s0_ref, E_ref, d_ref, Msq_ref, Mmax_ref,
 
 
 def build(sim: SimConfig, grid: GridConfig, ion: IonConfig, d, ke_be,
-          M1, M2, M3, e_init, e_th_init, x_init, d_nlim):
+          M1, M2, M3, e_init, e_th_init, x_init, d_nlim, inlet=None):
     """Returns (rates_fn, update_fn) closed over the per-step constants.
 
-    rates_fn(s0, E, code, Fin) -> (ncode, eflux, dt_chem, dt_therm)
-    update_fn(s0, E, code, Fin, dt) -> (E2, s02, cellcount, dti_max)
-    with `code` the packed (last_sign, sign_count) int32 carry.
+    rates_fn(s0, E, code, Fin) ->
+        (ncode, eflux, kph, nHdot, edot, dt_chem, dt_therm)
+    update_fn(s0, E, kph, nHdot, edot, dt) -> (E2, s02, cellcount, dti_max)
+    with `code` the packed (last_sign, sign_count) int32 carry.  With
+    `inlet` (an (Nz, Ny) per-column array, the SMR fine-level mode) the
+    scalar Fin argument of rates_fn is ignored.
     """
     NZ, NY, NX = d.shape
     by = _by(NY)
@@ -221,14 +243,26 @@ def build(sim: SimConfig, grid: GridConfig, ion: IonConfig, d, ke_be,
         return pl.BlockSpec((1, n), lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
 
+    with_inlet = inlet is not None
+    if with_inlet:
+        # per-column inlet broadcast over 128 lanes so the block tiles
+        # (child_inlet_flux carries a trailing singleton sweep axis)
+        inlet_b = jnp.broadcast_to(
+            jnp.asarray(inlet, dt_f).reshape(NZ, NY)[..., None],
+            (NZ, NY, 128))
+        inl_spec = [pl.BlockSpec((1, by, 128), imap)]
+    else:
+        inl_spec = []
     rates_call = pl.pallas_call(
-        functools.partial(_rates_kernel, sim=sim, ion=ion, dx1=dx1),
+        functools.partial(_rates_kernel, sim=sim, ion=ion, dx1=dx1,
+                          with_inlet=with_inlet),
         grid=grid_dims,
-        in_specs=[smem(1)] + [fld] * 5,
+        in_specs=[smem(1)] + [fld] * 5 + inl_spec,
         out_specs=(fld, efl, fld, fld, fld, part, part),
         out_shape=(ishape, eshape, fshape, fshape, fshape, pshape,
                    pshape),
         interpret=interp,
+        compiler_params=_cparams(),
     )
 
     update_call = pl.pallas_call(
@@ -238,12 +272,15 @@ def build(sim: SimConfig, grid: GridConfig, ion: IonConfig, d, ke_be,
         out_specs=(fld, fld, part, part),
         out_shape=(fshape, fshape, pshape, pshape),
         interpret=interp,
+        compiler_params=_cparams(),
     )
 
     def rates_fn(s0, E, code, Fin):
+        extra = (inlet_b,) if with_inlet else ()
         ncode, eflux, kph, nHdot, edot, dtc_p, dtt_p = rates_call(
-            jnp.asarray(Fin, dt_f).reshape(1, 1),
-            s0, E, code, d, Msq)
+            jnp.asarray(0.0 if Fin is None else Fin,
+                        dt_f).reshape(1, 1),
+            s0, E, code, d, Msq, *extra)
         return (ncode, eflux, kph, nHdot, edot,
                 jnp.min(dtc_p[..., 0, 0]), jnp.min(dtt_p[..., 0, 0]))
 

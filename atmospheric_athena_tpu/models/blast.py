@@ -55,5 +55,14 @@ class Blast:
             pb = 0.5 * (Bx ** 2 + By ** 2)
         if sim.adiabatic:
             P = jnp.where(inside, prat * pa, pa)
-            U = U.at[IEN].set(P / sim.gamma_1 + pb)
+            if sim.special_relativity:
+                # SR total energy includes rest mass: use the SR
+                # conversion (blast.c goes through the SR Prim_to_Cons)
+                from ..eos_sr import sr_prim1d_to_cons1d
+                z = jnp.zeros_like(d)
+                Usr = sr_prim1d_to_cons1d(jnp.stack([d, z, z, z, P]), sim)
+                U = U.at[ID].set(Usr[0])
+                U = U.at[IEN].set(Usr[4])
+            else:
+                U = U.at[IEN].set(P / sim.gamma_1 + pb)
         return st.replace(U=U, **kw)

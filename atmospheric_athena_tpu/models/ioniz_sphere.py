@@ -129,10 +129,19 @@ class IonizSphere:
         self._reset_cache = (key, out)
         return out
 
-    def userwork_in_loop(self, state, sim: SimConfig, grid: GridConfig):
+    def userwork_aux(self, dtype, sim: SimConfig, grid: GridConfig):
+        """Constant fields for userwork_in_loop, exposed so drivers can
+        pass them through jit as ARGUMENTS (embedding them as trace-time
+        constants bloats the serialized program past the remote-compile
+        limit at production sizes)."""
+        return self._reset_fields(dtype, sim, grid)
+
+    def userwork_in_loop(self, state, sim: SimConfig, grid: GridConfig,
+                         aux=None):
         """Re-impose the hydrostatic profile within r < 0.75 rp each cycle
         (Userwork_in_loop, ioniz_sphere.c:283-293)."""
-        inside, myrho, myE = self._reset_fields(state.U.dtype, sim, grid)
+        inside, myrho, myE = (aux if aux is not None else
+                              self._reset_fields(state.U.dtype, sim, grid))
 
         # one pass: stack the reset values per variable and select — six
         # .at[].set's would each materialize a full copy of U

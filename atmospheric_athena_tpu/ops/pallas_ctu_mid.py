@@ -51,15 +51,34 @@ _BZ = int(_os.environ.get("ATHENA_TPU_MID_BZ", "8"))
 _BY = int(_os.environ.get("ATHENA_TPU_MID_BY", "8"))
 
 
+
+def _cparams():
+    """Raise the scoped-VMEM soft limit: v5e has 128MiB of VMEM and the
+    hires-level tiles (NX=328 pads to 384 lanes) need ~18-30MB of scoped
+    scratch in the sweep kernels (the default soft limit is 16MB)."""
+    if jax.default_backend() not in ("tpu",):
+        return None
+    from jax.experimental.pallas import tpu as _pltpu
+    return _pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+def _tiles(NZ, NY, NX):
+    """(bz, by) fitting the 16MB scoped-VMEM budget: the ~15-operand
+    pipelines hold 2x(bz*by) rows of padded lanes per operand, so halve
+    bz once NX pads past two 128-lane tiles."""
+    bz = _BZ if NX <= 272 else max(_BZ // 2, 2)
+    return bz, _BY
+
+
 def supported(grid: GridConfig) -> bool:
-    """Default-on for 3D grids whose padded shape tiles as (4, 8, NX).
+    """Default-on for 3D grids whose padded shape tiles evenly.
     ATHENA_TPU_PALLAS_MID=0 forces the jnp fallback."""
     import os
     if os.environ.get("ATHENA_TPU_PALLAS_MID", "1").lower() in (
             "0", "off", "false"):
         return False
     NZ, NY, NX = grid.padded_shape()
-    return NZ % _BZ == 0 and NY % _BY == 0
+    bz, by = _tiles(NZ, NY, NX)
+    return NZ % bz == 0 and NY % by == 0
 
 
 def _interpret() -> bool:
@@ -118,11 +137,11 @@ class _Operands:
         if dz and dy:
             self.add(name, arr, dz, dy)
 
-    def specs(self, nv, gz, gy, NX):
+    def specs(self, nv, gz, gy, NX, bz, by):
         out = []
         for (name, dzb, dyb), arr in zip(self.keys, self.args):
-            blk = ((_BZ, _BY, NX) if arr.ndim == 3 else
-                   (arr.shape[0], _BZ, _BY, NX))
+            blk = ((bz, by, NX) if arr.ndim == 3 else
+                   (arr.shape[0], bz, by, NX))
             out.append(_mkspec(blk, dzb, dyb, gz, gy))
         return out
 
@@ -286,7 +305,8 @@ def transverse_correct(Ulp, Urp, Fp, G, q, sim: SimConfig,
     """Fused steps 5-7 for axis a.  Returns (Ulc, Urc, eta) with eta the
     H-correction interface jump (or None without h_correction)."""
     nv, NZ, NY, NX = Ulp.shape
-    gz, gy = NZ // _BZ, NY // _BY
+    bz, by = _tiles(NZ, NY, NX)
+    gz, gy = NZ // bz, NY // by
     with_grav = G is not None
     with_eta = sim.h_correction
 
@@ -311,13 +331,13 @@ def transverse_correct(Ulp, Urp, Fp, G, q, sim: SimConfig,
                      + [jnp.zeros((), Ulp.dtype)]).reshape(1, 4)
     smem = pl.BlockSpec((1, 4), lambda i, j: (0, 0),
                         memory_space=pltpu.SMEM)
-    in_specs = [smem] + ops.specs(nv, gz, gy, NX)
+    in_specs = [smem] + ops.specs(nv, gz, gy, NX, bz, by)
 
-    out_spec4 = _mkspec((nv, _BZ, _BY, NX), 0, 0, gz, gy)
+    out_spec4 = _mkspec((nv, bz, by, NX), 0, 0, gz, gy)
     out_specs = [out_spec4, out_spec4]
     out_shape = [jax.ShapeDtypeStruct(Ulp.shape, Ulp.dtype)] * 2
     if with_eta:
-        out_specs.append(_mkspec((_BZ, _BY, NX), 0, 0, gz, gy))
+        out_specs.append(_mkspec((bz, by, NX), 0, 0, gz, gy))
         out_shape.append(jax.ShapeDtypeStruct((NZ, NY, NX), Ulp.dtype))
 
     kern = functools.partial(_trans_kernel, sim=sim, a=a, axes=tuple(axes),
@@ -330,6 +350,7 @@ def transverse_correct(Ulp, Urp, Fp, G, q, sim: SimConfig,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=_interpret(),
+        compiler_params=_cparams(),
     )(qarr, *ops.args)
     if with_eta:
         return out
@@ -378,7 +399,8 @@ def flux_corrected(Ulc, Urc, etaS, sim: SimConfig, grid: GridConfig,
                    a: int, axes):
     """Fused step 9: etah gather + Riemann solve on corrected states."""
     nv, NZ, NY, NX = Ulc.shape
-    gz, gy = NZ // _BZ, NY // _BY
+    bz, by = _tiles(NZ, NY, NX)
+    gz, gy = NZ // bz, NY // by
     with_eta = etaS is not None
 
     ops = _Operands()
@@ -396,16 +418,17 @@ def flux_corrected(Ulc, Urc, etaS, sim: SimConfig, grid: GridConfig,
             ops.need_shift("eta", etaS, dzb, dyb)
             ops.need_shift("eta", etaS, dzb + dza, dyb + dya)
 
-    in_specs = ops.specs(nv, gz, gy, NX)
+    in_specs = ops.specs(nv, gz, gy, NX, bz, by)
     kern = functools.partial(_fluxh_kernel, sim=sim, a=a, axes=tuple(axes),
                              keys=tuple(ops.keys), with_eta=with_eta)
     return pl.pallas_call(
         kern,
         grid=(gz, gy),
         in_specs=in_specs,
-        out_specs=_mkspec((nv, _BZ, _BY, NX), 0, 0, gz, gy),
+        out_specs=_mkspec((nv, bz, by, NX), 0, 0, gz, gy),
         out_shape=jax.ShapeDtypeStruct(Ulc.shape, Ulc.dtype),
         interpret=_interpret(),
+        compiler_params=_cparams(),
     )(*ops.args)
 
 
@@ -415,7 +438,7 @@ def flux_corrected(Ulc, Urc, etaS, sim: SimConfig, grid: GridConfig,
 
 
 def _final_kernel(q_ref, *refs, sim: SimConfig, axes, keys,
-                  with_grav: bool, lo, hi):
+                  with_grav: bool, lo, hi, bz, by):
     dtodx = {b: q_ref[0, b] for b in axes}
     nops = len(keys)
     (out_ref,) = refs[nops:]
@@ -436,8 +459,8 @@ def _final_kernel(q_ref, *refs, sim: SimConfig, axes, keys,
     i = pl.program_id(0)
     j = pl.program_id(1)
     sh = U.shape[-3:]
-    zid = i * _BZ + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
-    yid = j * _BY + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    zid = i * bz + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    yid = j * by + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
     xid = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
     interior = ((zid >= lo[2]) & (zid <= hi[2]) &
                 (yid >= lo[1]) & (yid <= hi[1]) &
@@ -449,7 +472,8 @@ def final_update(U, Fp2, Sg, dtodx, sim: SimConfig, grid: GridConfig,
                  axes):
     """Fused steps 11-12 + splice.  Sg: grav_source() output or None."""
     nv, NZ, NY, NX = U.shape
-    gz, gy = NZ // _BZ, NY // _BY
+    bz, by = _tiles(NZ, NY, NX)
+    gz, gy = NZ // bz, NY // by
     with_grav = Sg is not None
 
     ops = _Operands()
@@ -466,17 +490,18 @@ def final_update(U, Fp2, Sg, dtodx, sim: SimConfig, grid: GridConfig,
                      + [jnp.zeros((), U.dtype)]).reshape(1, 4)
     smem = pl.BlockSpec((1, 4), lambda i, j: (0, 0),
                         memory_space=pltpu.SMEM)
-    in_specs = [smem] + ops.specs(nv, gz, gy, NX)
+    in_specs = [smem] + ops.specs(nv, gz, gy, NX, bz, by)
     lo = tuple(grid.lo(a) for a in range(3))
     hi = tuple(grid.hi(a) for a in range(3))
     kern = functools.partial(_final_kernel, sim=sim, axes=tuple(axes),
                              keys=tuple(ops.keys), with_grav=with_grav,
-                             lo=lo, hi=hi)
+                             lo=lo, hi=hi, bz=bz, by=by)
     return pl.pallas_call(
         kern,
         grid=(gz, gy),
         in_specs=in_specs,
-        out_specs=_mkspec((nv, _BZ, _BY, NX), 0, 0, gz, gy),
+        out_specs=_mkspec((nv, bz, by, NX), 0, 0, gz, gy),
         out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
         interpret=_interpret(),
+        compiler_params=_cparams(),
     )(qarr, *ops.args)

@@ -46,6 +46,16 @@ from . import reconstruct, riemann
 from ..integrators.sweep import inv_perm, var_perm
 
 
+
+def _cparams():
+    """Raise the scoped-VMEM soft limit: v5e has 128MiB of VMEM and the
+    hires-level tiles (NX=328 pads to 384 lanes) need ~18-30MB of scoped
+    scratch in the sweep kernels (the default soft limit is 16MB)."""
+    if jax.default_backend() not in ("tpu",):
+        return None
+    from jax.experimental.pallas import tpu as _pltpu
+    return _pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 def _cdiv(a, b):
     return -(-a // b)
 
@@ -137,13 +147,17 @@ def _sweep_kernel(dtodx_ref, U_ref, *refs, sim: SimConfig, axis: int,
 
 
 def sweep_lrflux(U, phic, phif_a, dtodx, sim: SimConfig, axis: int,
-                 by=64, bx=128):
+                 by=None, bx=128):
     """Fused steps 1-3 along `axis`.  U, outputs: [nv, NZ, NY, NX] physical
     order.  phic/phif_a: [NZ, NY, NX] static-potential fields or None.
     Returns (Ul, Ur, F)."""
     shape = U.shape
     nv, NZ, NY, NX = shape
     with_grav = phic is not None
+    if by is None:
+        # scoped VMEM is 16MB: halve the row tile once the lane dim
+        # paddings exceed two 128-lane tiles (NX>272 pads to 384+)
+        by = 64 if NX <= 272 else 32
     by = min(by, NY)
     # z-sweep flattens (y,x) into lanes: bx tiles NY*NX, not NX (partial
     # last blocks are fine; bx itself must stay a multiple of 128)
@@ -178,6 +192,7 @@ def sweep_lrflux(U, phic, phif_a, dtodx, sim: SimConfig, axis: int,
         out_shape=tuple(jax.ShapeDtypeStruct(U.shape, U.dtype)
                         for _ in range(3)),
         interpret=_interpret(),
+        compiler_params=_cparams(),
     )(*args)
     if axis == 2:
         out = tuple(o.reshape(shape) for o in out)
@@ -204,10 +219,12 @@ def _flux_kernel(Ul_ref, Ur_ref, *refs, sim: SimConfig,
     F_ref[...] = _restack(F, ipm)[:, None]
 
 
-def flux_pointwise(Ulc, Urc, etah, sim: SimConfig, axis: int, by=64):
+def flux_pointwise(Ulc, Urc, etah, sim: SimConfig, axis: int, by=None):
     """Fused step 9 Riemann solve on corrected states (pointwise)."""
     nv, NZ, NY, NX = Ulc.shape
     with_eta = etah is not None
+    if by is None:
+        by = 64 if NX <= 272 else 32
     by = min(by, NY)
     blk = (nv, 1, by, NX)
     sblk = (1, by, NX)
@@ -230,6 +247,7 @@ def flux_pointwise(Ulc, Urc, etah, sim: SimConfig, axis: int, by=64):
         out_specs=pl.BlockSpec(blk, imap),
         out_shape=jax.ShapeDtypeStruct(Ulc.shape, Ulc.dtype),
         interpret=_interpret(),
+        compiler_params=_cparams(),
     )(*args)
 
 

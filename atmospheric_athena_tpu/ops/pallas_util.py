@@ -21,6 +21,16 @@ from ..defs import ID, IEN, IM1, TINY_NUMBER
 _BZ, _BY = 8, 8
 
 
+
+def _cparams():
+    """Raise the scoped-VMEM soft limit: v5e has 128MiB of VMEM and the
+    hires-level tiles (NX=328 pads to 384 lanes) need ~18-30MB of scoped
+    scratch in the sweep kernels (the default soft limit is 16MB)."""
+    if jax.default_backend() not in ("tpu",):
+        return None
+    from jax.experimental.pallas import tpu as _pltpu
+    return _pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 def supported(sim: SimConfig, grid: GridConfig) -> bool:
     NZ, NY, NX = grid.padded_shape()
     return (sim.pallas_enabled and sim.gas == "hydro"
@@ -76,6 +86,7 @@ def max_dti_hydro(U, sim: SimConfig, grid: GridConfig):
         out_specs=(part, part, part),
         out_shape=(pshape,) * 3,
         interpret=jax.default_backend() not in ("tpu",),
+        compiler_params=_cparams(),
     )(U)
     dti = jnp.zeros((), U.dtype)
     for a, m in ((0, m0), (1, m1), (2, m2)):

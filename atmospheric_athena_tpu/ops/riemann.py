@@ -544,8 +544,13 @@ def _exact_adb(Ul, Ur, Wl, Wr, sim: SimConfig):
         newp = jnp.where(done, pold, p)
         return newp, done | (change <= TOL)
 
-    pc, _ = jax.lax.fori_loop(
+    pc, conv = jax.lax.fori_loop(
         0, 100, newton, (p0, jnp.zeros_like(p0, dtype=bool)))
+    # the reference aborts on Newton divergence (exact.c:465 ath_error);
+    # the jit-compatible analogue poisons the lane with NaN so the
+    # failure is visible to the driver's NaN checks instead of silently
+    # using the 100th iterate
+    pc = jnp.where(conv, pc, jnp.nan)
 
     Vxc = 0.5 * (vl + vr) + 0.5 * (pfunc(dr, pr, ar, pc)
                                    - pfunc(dl, pl, al, pc))
@@ -652,7 +657,12 @@ def _exact_iso(Ul, Ur, Wl, Wr, sim: SimConfig):
 
     _, _, dm_mix = jax.lax.fori_loop(
         0, 100, rt_body, (xl0, xh0, 0.5 * (dmin + dmax)))
-    dm_mix = jnp.where(bracketed, dm_mix, 0.0)
+    # rtsafe endpoint cases (Numerical Recipes rtsafe; exact.c:282-340):
+    # a root exactly AT an endpoint short-circuits the iteration
+    dm_mix = jnp.where(f_lo == 0.0, dmin,
+                       jnp.where(f_hi == 0.0, dmax, dm_mix))
+    dm_mix = jnp.where(bracketed | (f_lo == 0.0) | (f_hi == 0.0),
+                       dm_mix, 0.0)
     mix_ok = (dm_mix > dmin) & (dm_mix <= dmax)
     vxm_mix = jnp.where(dl > dr,
                         vl - cs * jnp.log(dm_mix / jnp.maximum(dl, 1e-300)),

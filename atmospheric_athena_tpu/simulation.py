@@ -85,6 +85,10 @@ class Simulation:
         # optional jax.sharding.Mesh for multichip runs: enables the
         # distributed (x-sharded) radiation scan inside the step
         self.mesh = None
+        # optional Lagrangian particle population (see from_par)
+        self.particles = None
+        self.par_params = None
+        self._jit_pstep = None
 
     # ------------------------------------------------------------------ setup
 
@@ -114,7 +118,15 @@ class Simulation:
         state = bvals.apply_bc(state, grid, sim, prob)
         dt0 = dt_mod.new_dt(state, sim, grid, cls._cour(par))
         state = state.replace(dt=dt0)
-        return cls(par, sim, grid, prob, state)
+        out = cls(par, sim, grid, prob, state)
+        # Lagrangian particles: a problem providing init_particles() opts
+        # in (init_particle.c analogue); advanced after each gas step
+        if hasattr(prob, "init_particles"):
+            from . import particles as particles_mod
+            out.particles = prob.init_particles(par, sim, grid)
+            out.par_params = particles_mod.params_from_par(
+                par, feedback=par.geti_def("particle", "feedback", 0) > 0)
+        return out
 
     @classmethod
     def from_file(cls, path: str, problem: Optional[str] = None,
@@ -136,8 +148,8 @@ class Simulation:
 
         if sim.integrator == "vl":
             if ndim == 3:
-                if sim.special_relativity:
-                    raise NotImplementedError("3D VL-SR pending")
+                if sim.special_relativity and sim.mhd:
+                    raise NotImplementedError("3D VL-SR MHD pending")
                 from .integrators import vl3d as integ
             else:
                 from .integrators import vl_lowd as integ
@@ -187,7 +199,18 @@ class Simulation:
                 time_ramp=getattr(problem, "time_ramp", True))
             self.ion = ion
 
-        def step(state: State) -> State:
+        # large constant fields travel through jit as ARGUMENTS (not
+        # trace-time constants — those inflate the serialized program past
+        # the remote-compile payload limit at production sizes)
+        from .integrators.ctu3d import _phi_arrays
+        dtype = self.state.U.dtype
+        phi0 = _phi_arrays(problem, grid, dtype) if ndim > 1 else None
+        uw_aux0 = (problem.userwork_aux(dtype, sim, grid)
+                   if hasattr(problem, "userwork_aux") else None)
+        self._step_aux = (phi0, uw_aux0)
+
+        def step(state: State, aux=(None, None)) -> State:
+            phi0, uw_aux = aux
             # dt for this cycle, clipped so we land exactly on tlim
             # (new_dt.c:183-185)
             dt = jnp.minimum(state.dt, jnp.maximum(tlim - state.time, 0.0)
@@ -218,12 +241,16 @@ class Simulation:
                 state, fluxes = integ.step(state, dt, sim, grid, problem,
                                            phi_sg=phi_sg,
                                            selfg_pars=selfg_pars,
-                                           return_fluxes=True)
+                                           return_fluxes=True, phi=phi0)
             else:
-                state = integ.step(state, dt, sim, grid, problem)
+                state = integ.step(state, dt, sim, grid, problem,
+                                   phi=phi0)
 
             if userwork is not None:
-                state = userwork(state, sim, grid)
+                if uw_aux is not None:
+                    state = userwork(state, sim, grid, aux=uw_aux)
+                else:
+                    state = userwork(state, sim, grid)
 
             if selfg_pars is not None:
                 # new Phi from the updated rho + the 2nd-order old/new-Phi
@@ -249,7 +276,28 @@ class Simulation:
     def step(self):
         if self._jit_step is None:
             self._jit_step = self._build_step()
-        self.state = self._jit_step(self.state)
+        t_before = self.state.time
+        self.state = self._jit_step(self.state, self._step_aux)
+        if self.particles is not None:
+            if self._jit_pstep is None:
+                from . import particles as particles_mod
+
+                def pstep(pts, state, dt):
+                    # gas already advanced; particles use the updated
+                    # state over the SAME dt the gas step consumed
+                    new, fb = particles_mod.integrate(
+                        pts, state, dt, self.sim, self.grid,
+                        self.par_params, self.problem)
+                    if fb is not None:
+                        U = state.U
+                        for c in range(3):
+                            U = U.at[1 + c].add(fb[c] * dt)
+                        state = state.replace(U=U)
+                    return new, state
+                self._jit_pstep = jax.jit(pstep)
+            dt_used = self.state.time - t_before
+            self.particles, self.state = self._jit_pstep(
+                self.particles, self.state, dt_used)
 
     # -------------------------------------------------------------------- run
 

@@ -34,12 +34,18 @@ class ChildLink(NamedTuple):
 
 
 def child_link(parent: GridConfig, child: GridConfig,
-               disp: Tuple[int, int, int]) -> ChildLink:
+               disp: Tuple[int, int, int],
+               parent_disp: Tuple[int, int, int] = (0, 0, 0)) -> ChildLink:
+    """Overlap of the child within its parent, in PARENT active cells.
+
+    `disp`/`parent_disp` are root-origin displacements in each domain's
+    OWN-level cells (init_mesh.c Disp[]); the child's start inside the
+    parent is disp/2 - parent_disp."""
     start = []
     end = []
     for a in range(3):
         if parent.active(a):
-            s = disp[a] // 2
+            s = disp[a] // 2 - parent_disp[a]
             e = s + child.Nx[a] // 2
         else:
             s, e = 0, 1
@@ -55,14 +61,25 @@ def child_link(parent: GridConfig, child: GridConfig,
 
 def restrict_mean(q, active):
     """Mean over 2x2x2 fine cells (2 per ACTIVE axis).  q: [..., Nz, Ny, Nx]
-    fine ACTIVE-cell array; active: per-axis bool."""
-    lead = q.shape[:-3]
-    Nz, Ny, Nx = q.shape[-3:]
+    fine ACTIVE-cell array; active: per-axis bool.
+
+    Implemented as strided-slice sums rather than a reshape+mean: the
+    odd-split reshape of large stacked arrays made XLA assign a tiled
+    layout to the leading (variable) axis at hires scales, materializing a
+    21x-padded copy of the level-5 fine grid (15.6 GB for 750 MB of
+    data)."""
     sz = 2 if active[2] else 1
     sy = 2 if active[1] else 1
     sx = 2 if active[0] else 1
-    q = q.reshape(lead + (Nz // sz, sz, Ny // sy, sy, Nx // sx, sx))
-    return q.mean(axis=(-5, -3, -1))
+    acc = None
+    n = 0
+    for iz in range(sz):
+        for iy in range(sy):
+            for ix in range(sx):
+                t = q[..., iz::sz, iy::sy, ix::sx]
+                acc = t if acc is None else acc + t
+                n += 1
+    return acc / n
 
 
 def _overlap_slices(grid: GridConfig, link: ChildLink):
@@ -175,10 +192,17 @@ def prolong_box(Uc, active):
         dq = _mcd_slope(vl, vc, vr)
         lo = vc - 0.25 * dq
         hi = vc + 0.25 * dq
-        st = jnp.stack([lo, hi], axis=adim + 1)
+        # interleave with strided stores, not stack+reshape — the odd
+        # reshape earned large stacked arrays a tiled leading-axis layout
+        # from XLA at hires scales (see restrict_mean)
         shp = list(vc.shape)
         shp[adim] *= 2
-        out = st.reshape(shp)
+        out = jnp.zeros(shp, vc.dtype)
+        ilo = [slice(None)] * len(shp)
+        ihi = [slice(None)] * len(shp)
+        ilo[adim] = slice(0, None, 2)
+        ihi[adim] = slice(1, None, 2)
+        out = out.at[tuple(ilo)].set(lo).at[tuple(ihi)].set(hi)
     return out
 
 

@@ -63,15 +63,17 @@ def test_sharded_step_matches_single_device():
     par = ParameterDB.from_string(BLAST3D_DECK)
     s = Simulation.from_par(par)
     fn = s._build_step().__wrapped__
+    aux = s._step_aux
 
     # single device
-    out1 = jax.jit(fn)(s.state)
+    out1 = jax.jit(fn)(s.state, aux)
 
     # 8-device mesh
     mesh = make_mesh(8)
     sh = state_shardings(mesh, s.sim)
     stS = shard_state(s.state, mesh, s.sim)
-    out8 = jax.jit(fn, in_shardings=(sh,), out_shardings=sh)(stS)
+    out8 = jax.jit(lambda st: fn(st, aux), in_shardings=(sh,),
+                   out_shardings=sh)(stS)
 
     np.testing.assert_allclose(np.asarray(out8.U), np.asarray(out1.U),
                                rtol=0, atol=1e-13)
@@ -88,13 +90,15 @@ def test_sharded_ioniz_sphere_step():
     par = ParameterDB.from_string(_ISPH_DECK.format(n=16))
     s = Simulation.from_par(par, problem="ioniz_sphere", dtype="float64")
     fn = s._build_step().__wrapped__
+    aux = s._step_aux
 
-    out1 = jax.jit(fn)(s.state)
+    out1 = jax.jit(fn)(s.state, aux)
 
     mesh = make_mesh(8)
     sh = state_shardings(mesh, s.sim)
     stS = shard_state(s.state, mesh, s.sim)
-    out8 = jax.jit(fn, in_shardings=(sh,), out_shardings=sh)(stS)
+    out8 = jax.jit(lambda st: fn(st, aux), in_shardings=(sh,),
+                   out_shardings=sh)(stS)
 
     # sharded reductions reassociate sums -> tiny drift relative to each
     # field's scale is expected (momenta start near zero)
@@ -123,15 +127,18 @@ def test_distributed_radiation_scan_x_sharded():
     par = ParameterDB.from_string(_ISPH_DECK.format(n=16))
     s = Simulation.from_par(par, problem="ioniz_sphere", dtype="float64")
 
-    out1 = jax.jit(s._build_step().__wrapped__)(s.state)
+    f0 = s._build_step().__wrapped__
+    out1 = jax.jit(f0)(s.state, s._step_aux)
 
     mesh = make_mesh(8, shape=(1, 2, 4))
     s.mesh = mesh
     s._jit_step = None
     fn = s._build_step().__wrapped__
+    aux = s._step_aux
     sh = state_shardings(mesh, s.sim)
     stS = shard_state(s.state, mesh, s.sim)
-    out8 = jax.jit(fn, in_shardings=(sh,), out_shardings=sh)(stS)
+    out8 = jax.jit(lambda st: fn(st, aux), in_shardings=(sh,),
+                   out_shardings=sh)(stS)
 
     U1 = np.asarray(out1.U)
     U8 = np.asarray(out8.U)

@@ -62,3 +62,31 @@ def test_sr_mb1_matches_reference():
         scale = np.abs(ref[:, col]).max()
         np.testing.assert_allclose(W[k], ref[:, col], rtol=0,
                                    atol=5e-5 * scale, err_msg=n)
+
+
+@pytest.mark.slow
+def test_sr_3d_vl_blast_10cycles():
+    """3D VL-SR hydro (integrate_3d_vl_sr.c) vs the reference built with
+    --with-problem=blast --with-gas=hydro --enable-special-relativity
+    --with-integrator=vl --with-flux=hllc --with-order=2p on a 32^3 SR
+    blast (tst/2D-sr-hydro/athinput.blast extended to 3D), 10 cycles.
+
+    Tolerance 1e-5: the analytic quartic inversion's rounding (the gas is
+    mildly relativistically cold, so E - D cancels several digits) seeds
+    ~1e-9 per-step differences that the strong shock amplifies; the
+    identical-formula 1D tube (mb1) matches at 1e-11."""
+    s = Simulation.from_file(
+        os.path.join(GOLD, "athinput.srblast3d"), problem="blast",
+        gas="hydro", special_relativity=True, integrator="vl",
+        flux="hllc", order="2p",
+        cmdline=["time/nlim=10", "time/tlim=99"])
+    s.run(max_steps=10)
+    gold = np.loadtxt(os.path.join(GOLD, "sr_blast3d_10cycles.tab"))
+    sl = s.grid.interior()
+    U = np.asarray(s.state.U)
+    for i, nm in enumerate(["d", "M1", "M2", "M3", "E"]):
+        m = np.ravel(U[i][sl])
+        r = gold[:, 6 + i]
+        scale = np.abs(r).max()
+        np.testing.assert_allclose(m, r, rtol=0, atol=1e-5 * scale,
+                                   err_msg=nm)

@@ -36,3 +36,52 @@ def test_vl_mhd_blast_one_step_eager_exact():
            "B1c": B[0], "B2c": B[1], "B3c": B[2]}
     for name in got:
         np.testing.assert_allclose(got[name], gold[name], rtol=0, atol=5e-14)
+
+
+def test_vl_1d_mhd_briowu_50cycles():
+    """1D VL Newtonian MHD (integrate_1d_vl.c MHD branch) vs the reference
+    built with --with-gas=mhd --with-integrator=vl --with-flux=hlld
+    --with-order=2, on tst/1D-mhd/athinput.brio-wu at cour_no=0.4 (the VL
+    CFL<=0.5 constraint) for 50 cycles."""
+    import jax.numpy as jnp
+
+    from atmospheric_athena_tpu.eos import cons1d_to_prim1d
+    s = Simulation.from_file(
+        "/root/reference/tst/1D-mhd/athinput.brio-wu", problem="shkset1d",
+        gas="mhd", integrator="vl", flux="hlld", order="2",
+        cmdline=["time/nlim=50", "time/tlim=10.0", "time/cour_no=0.4"])
+    s.run(max_steps=50)
+    gold = np.loadtxt(os.path.join(GOLD_DIR, "bw_vl_50cycles.tab"))
+    U = np.asarray(s.state.U)
+    sl = s.grid.interior()
+    Bcc = np.asarray(s.state.Bcc)
+    U1d = np.concatenate([U[:5], Bcc[1][None], Bcc[2][None]],
+                         0)[(slice(None),) + sl]
+    W = np.asarray(cons1d_to_prim1d(jnp.asarray(U1d),
+                                    jnp.asarray(Bcc[0][sl]), s.sim))
+    mine = [W[0], W[1], W[2], W[3], W[4], np.ravel(Bcc[0][sl]), W[5], W[6]]
+    for i, nm in enumerate(["d", "v1", "v2", "v3", "P", "B1", "B2", "B3"]):
+        np.testing.assert_allclose(np.ravel(mine[i]), gold[:, 2 + i],
+                                   rtol=0, atol=1e-12, err_msg=nm)
+
+
+def test_vl_2d_mhd_orszag_tang_10cycles():
+    """2D VL Newtonian MHD with the reduced CT update (integrate_2d_vl.c)
+    vs the reference built with --with-problem=orszag-tang --with-gas=mhd
+    --with-integrator=vl --with-flux=hlld --with-order=2, 64^2, 10 cycles
+    at cour_no=0.4."""
+    s = Simulation.from_file(
+        os.path.join(GOLD_DIR, "athinput.ot64"), gas="mhd",
+        integrator="vl", flux="hlld", order="2",
+        cmdline=["time/nlim=10", "time/tlim=10", "time/cour_no=0.4"])
+    s.run(max_steps=10)
+    gold = np.loadtxt(os.path.join(GOLD_DIR, "ot_vl_10cycles.tab"))
+    sl = s.grid.interior()
+    U = np.asarray(s.state.U)
+    B = np.asarray(s.state.Bcc)
+    fields = [U[0], U[1], U[2], U[3], U[4], B[0], B[1], B[2]]
+    for i, nm in enumerate(["d", "M1", "M2", "M3", "E",
+                            "B1", "B2", "B3"]):
+        np.testing.assert_allclose(np.ravel(fields[i][sl]),
+                                   gold[:, 4 + i], rtol=0, atol=1e-13,
+                                   err_msg=nm)
