@@ -97,6 +97,19 @@ def apply_bc(state: State, grid: GridConfig, sim: SimConfig,
     Bi = [state.B1i, state.B2i, state.B3i] if sim.mhd else None
 
     for axis in (0, 1, 2):
+        if axis == 2 and sim.shearing_box and grid.active(0) \
+                and grid.bc[0][0] == BC_PERIODIC:
+            # shearing-sheet remap of the x1 ghost slabs runs after the
+            # periodic x1 + x2 fills and before x3 (bvals_mhd.c:390-401)
+            from .shearing import shearing_sheet
+            state = state.replace(U=U, **(dict(Bcc=Bcc, B1i=Bi[0],
+                                               B2i=Bi[1], B3i=Bi[2])
+                                          if sim.mhd else {}))
+            state = shearing_sheet(state, sim, grid, state.time)
+            U = state.U
+            Bcc = state.Bcc
+            if sim.mhd:
+                Bi = [state.B1i, state.B2i, state.B3i]
         if not grid.active(axis):
             continue
         ad_U = _adim(axis) + 1      # +1 for variable axis of U / Bcc
@@ -131,6 +144,24 @@ def apply_bc(state: State, grid: GridConfig, sim: SimConfig,
                         # outermost lo ghost face (is-nghost) is untouched
                         # (reflect_ix1/ox1, bvals_mhd.c:982-989,1041-1048).
                         Bi[b] = _reflect_normal_face(Bi[b], ad, ng, side)
+                    elif b == axis:
+                        # Normal face field under periodic/outflow: the
+                        # outermost lo ghost face is never set ("B1i is
+                        # not set at i=is-nghost") and on the hi side
+                        # the SHARED ACTIVE face ie+1 is never a BC
+                        # ("B1i is not set at i=ie+1", periodic_ox1 /
+                        # outflow_ox1) — in a shearing box the two
+                        # boundary faces differ, so clobbering ie+1
+                        # with is breaks the CT field
+                        fblk = _ghost_block(Bi[b], ad, ng, side, flag)
+                        n = Bi[b].shape[ad]
+                        idx = [slice(None)] * Bi[b].ndim
+                        sub = [slice(None)] * fblk.ndim
+                        idx[ad] = slice(1, ng) if side == "lo" \
+                            else slice(n - ng + 1, None)
+                        sub[ad] = slice(1, None)
+                        Bi[b] = Bi[b].at[tuple(idx)].set(
+                            fblk[tuple(sub)])
                     else:
                         fblk = _ghost_block(Bi[b], ad, ng, side, flag)
                         Bi[b] = _fill(Bi[b], ad, ng, side, fblk)

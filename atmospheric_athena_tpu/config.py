@@ -45,6 +45,9 @@ class SimConfig:
     iso_csound: float = 1.0       # <problem>/iso_csound
     use_pallas: str = "auto"      # fused TPU kernels: auto | on | off
     special_relativity: bool = False  # --enable-special-relativity
+    shearing_box: bool = False    # --enable-shearing-box (3D/2D-xy)
+    omega0: float = 1.0e-3        # <problem>/Omega (globals.h Omega_0)
+    qshear: float = 1.5           # <problem>/qshear
 
     def __post_init__(self):
         assert self.gas in ("hydro", "mhd"), self.gas
@@ -218,6 +221,10 @@ def sim_config_from_par(par: ParameterDB, **overrides) -> SimConfig:
             kw["dtype"] = par.gets(blk, "dtype")
     if par.exist("problem", "gamma"):
         kw["gamma"] = par.getd("problem", "gamma")
+    if par.exist("problem", "Omega"):
+        kw["omega0"] = par.getd("problem", "Omega")
+    if par.exist("problem", "qshear"):
+        kw["qshear"] = par.getd("problem", "qshear")
     if par.exist("problem", "iso_csound"):
         kw["iso_csound"] = par.getd("problem", "iso_csound")
     kw.update(overrides)

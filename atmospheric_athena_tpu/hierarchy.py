@@ -167,7 +167,17 @@ class MeshSimulation:
     def state(self):      # root-level view (time/dt/nstep live here)
         return self.levels[0].state
 
-    def _build_step(self):
+    def _build_step(self, phased: bool = False):
+        """Build the cycle function.
+
+        phased=False jits the whole multi-level cycle as ONE program —
+        lowest overhead, but XLA's peak allocation spans every level's
+        integrator temporaries at once.  phased=True (chosen
+        automatically for big meshes like the 5-level 320^3 hires deck)
+        keeps the cycle as a host loop over per-level jitted pieces so
+        HBM peaks at one level's working set; inter-level glue
+        (inlet slabs, dt min) runs eagerly on tiny arrays.
+        """
         sim = self.sim
         cour_no, tlim = self.cour_no, self.tlim
         levels = self.levels
@@ -178,6 +188,15 @@ class MeshSimulation:
         parents = [l.parent for l in levels]
         down = sorted(range(1, nlev), key=lambda i: -levels[i].lev)
         up = sorted(range(1, nlev), key=lambda i: levels[i].lev)
+
+        jits = {}
+
+        def J(key, fn):
+            # cached per-level jit boundaries; under the whole-cycle jit
+            # (phased=False) these inline into the outer trace
+            if key not in jits:
+                jits[key] = jax.jit(fn)
+            return jits[key]
 
         ion = None
         if sim.ion_radplane:
@@ -214,35 +233,47 @@ class MeshSimulation:
             # (main.c:541-556; ionrad_3d.c:836-852, 914-962)
             if sim.ion_radplane:
                 states = [s.replace(dt=dt) for s in states]
-                s0, dt = ion_radtransfer(states[0], sim, grids[0],
-                                         ions[0], time, cour_no)
+                s0, dt = J(("rad", 0), lambda s, t: ion_radtransfer(
+                    s, sim, grids[0], ions[0], t, cour_no))(
+                        states[0], time)
                 states[0] = s0
                 tcoarse = dt
                 for li in up:
                     pi = parents[li]
-                    inlet = smr.child_inlet_flux(
-                        states[pi].Eflux, grids[pi], grids[li],
-                        links[li], direction)
-                    sl, _ = ion_radtransfer(states[li], sim, grids[li],
-                                            ions[li], time, cour_no,
-                                            inlet=inlet, tcoarse=tcoarse)
+                    inlet = J(("inlet", li),
+                              lambda E, _li=li, _pi=pi:
+                              smr.child_inlet_flux(
+                                  E, grids[_pi], grids[_li],
+                                  links[_li], direction))(
+                                      states[pi].Eflux)
+                    sl, _ = J(("rad", li),
+                              lambda s, t, inl, tc, _li=li:
+                              ion_radtransfer(
+                                  s, sim, grids[_li], ions[_li], t,
+                                  cour_no, inlet=inl, tcoarse=tc))(
+                                      states[li], time, inlet, tcoarse)
                     states[li] = sl
                 # ionradRestrictCorrect: E and s0 fine -> coarse
                 iscal = 5 if sim.adiabatic else 4
                 for li in down:
                     pi = parents[li]
                     states[pi] = states[pi].replace(
-                        U=smr.restrict_to_parent(
-                            states[pi].U, states[li].U, grids[pi],
-                            grids[li], links[li], nvars=[IEN, iscal]))
+                        U=J(("radrestrict", li),
+                            lambda Up, Uc, _li=li, _pi=pi:
+                            smr.restrict_to_parent(
+                                Up, Uc, grids[_pi], grids[_li],
+                                links[_li], nvars=[IEN, iscal]))(
+                                    states[pi].U, states[li].U))
 
             # --- hydro on every level with the same dt, saving fluxes
             fluxes = []
             new_states = []
             for li in range(nlev):
-                snew, F = ctu3d.step(states[li], dt, sim, grids[li],
-                                     probs[li], return_fluxes=True,
-                                     phi=auxs[li][0])
+                snew, F = J(("hydro", li),
+                            lambda s, d, phi_, _li=li: ctu3d.step(
+                                s, d, sim, grids[_li], probs[_li],
+                                return_fluxes=True, phi=phi_))(
+                                    states[li], dt, auxs[li][0])
                 new_states.append(snew)
                 fluxes.append(F)
             states = new_states
@@ -250,28 +281,44 @@ class MeshSimulation:
             # --- RestrictCorrect: conserved restriction + flux correction
             for li in down:
                 pi = parents[li]
-                Up = smr.restrict_to_parent(
-                    states[pi].U, states[li].U, grids[pi],
-                    grids[li], links[li])
-                Up = smr.flux_correct(Up, fluxes[pi], fluxes[li],
-                                      grids[pi], grids[li], links[li],
-                                      dt)
+                Up = J(("correct", li),
+                       lambda Up_, Uc, Fp_, Fc, d, _li=li, _pi=pi:
+                       smr.flux_correct(
+                           smr.restrict_to_parent(
+                               Up_, Uc, grids[_pi], grids[_li],
+                               links[_li]),
+                           Fp_, Fc, grids[_pi], grids[_li], links[_li],
+                           d))(states[pi].U, states[li].U, fluxes[pi],
+                               fluxes[li], dt)
                 states[pi] = states[pi].replace(U=Up)
+                # `down` is deepest-first, so li's own role as a parent
+                # is finished; free its (large) flux arrays promptly
+                fluxes[li] = None
+            fluxes = None
 
             # --- Userwork (prob/ioniz_sphere.c:255-306 core reset)
             for li in range(nlev):
                 uw = getattr(probs[li], "userwork_in_loop", None)
                 if uw is not None:
                     if auxs[li][1] is not None:
-                        states[li] = uw(states[li], sim, grids[li],
-                                        aux=auxs[li][1])
+                        states[li] = J(("uw", li),
+                                       lambda s, aux_, _li=li, _uw=uw:
+                                       _uw(s, sim, grids[_li],
+                                           aux=aux_))(
+                                               states[li], auxs[li][1])
                     else:
-                        states[li] = uw(states[li], sim, grids[li])
+                        states[li] = J(("uw", li),
+                                       lambda s, _li=li, _uw=uw:
+                                       _uw(s, sim, grids[_li]))(
+                                           states[li])
 
             # --- time/dt update: min over levels, 2x clamp
             # (new_dt.c:32-198 loops all Grids)
-            dts = [dt_mod.new_dt(s.replace(dt=dt), sim, g, cour_no)
-                   for s, g in zip(states, grids)]
+            dts = [J(("dt", li),
+                     lambda s, _li=li: dt_mod.new_dt(
+                         s, sim, grids[_li], cour_no))(
+                             states[li].replace(dt=dt))
+                   for li in range(nlev)]
             dt_next = dts[0]
             for d2 in dts[1:]:
                 dt_next = jnp.minimum(dt_next, d2)
@@ -282,21 +329,38 @@ class MeshSimulation:
                       for s in states]
 
             # --- boundary values (root physical BCs; children interior)
-            states[0] = bvals.apply_bc(states[0], grids[0], sim, probs[0])
+            states[0] = J(("bc", 0), lambda s: bvals.apply_bc(
+                s, grids[0], sim, probs[0]))(states[0])
 
             # --- Prolongate: child ghost zones from the parent
             for li in up:
                 pi = parents[li]
-                states[li] = states[li].replace(U=smr.prolong_ghosts(
-                    states[pi].U, states[li].U, grids[pi],
-                    grids[li], links[li]))
+                states[li] = states[li].replace(
+                    U=J(("prolong", li),
+                        lambda Up, Uc, _li=li, _pi=pi:
+                        smr.prolong_ghosts(
+                            Up, Uc, grids[_pi], grids[_li],
+                            links[_li]))(states[pi].U, states[li].U))
             return states
 
-        return jax.jit(step)
+        return step if phased else jax.jit(step)
+
+    # levels whose padded zone count exceeds this run the cycle in
+    # phased mode (per-level jits) to bound peak HBM; the 5-level hires
+    # deck's 320^3 fine level OOMs a v5e chip as one fused program
+    PHASED_ZONES = 12_000_000
 
     def step(self):
         if self._jit_step is None:
-            self._jit_step = self._build_step()
+            import os
+            env = os.environ.get("ATHENA_TPU_SMR_PHASED")
+            if env is not None:
+                phased = env.lower() not in ("0", "off", "false", "")
+            else:
+                import numpy as np
+                phased = max(int(np.prod(l.grid.padded_shape()))
+                             for l in self.levels) > self.PHASED_ZONES
+            self._jit_step = self._build_step(phased=phased)
         new_states = self._jit_step([l.state for l in self.levels],
                                     self._step_aux)
         for l, s in zip(self.levels, new_states):

@@ -106,10 +106,20 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
         Wr = Wr.at[ib].add(srcBy)
         Wr = Wr.at[ib + 1].add(srcBz)
 
-        # static gravity dt/2 (:318-342)
+        # static gravity dt/2 (:318-342); for shearing boxes phi holds
+        # the tidal ShearingBoxPot (same discrete form)
         if phic is not None:
             Wl = Wl.at[1].add(-dtodx[a] * (phif[a] - _shf(phic, -1, a)))
             Wr = Wr.at[1].add(-dtodx[a] * (phic - phif[a]))
+
+        # shearing-box Coriolis kick on the x1 interface states
+        # (:379-403, non-FARGO, full dt, from the unreconstructed W)
+        if sim.shearing_box and a == 0:
+            om = sim.omega0
+            Wl = Wl.at[1].add(dt * om * _sh(W, -1, a)[2])
+            Wr = Wr.at[1].add(dt * om * W[2])
+            Wl = Wl.at[2].add(-dt * om * _sh(W, -1, a)[1])
+            Wr = Wr.at[2].add(-dt * om * W[1])
 
         Bxi = Bi[a]  # face field at interface f = t^n B_ai (:217-218)
         Ul = prim1d_to_cons1d(Wl, Bxi, sim)
@@ -184,7 +194,8 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             Urc[a] = Urc[a].at[IEN].add(srcE)
             Ulc[a] = Ulc[a].at[IEN].add(_shf(srcE, -1, a))
 
-        # gravity cross terms (:1160-1222)
+        # gravity cross terms (:1160-1222); with a shearing box phi is
+        # the tidal potential and the same form applies (:1588-1636)
         if phic is not None:
             for b in axes:
                 if b == a:
@@ -199,6 +210,17 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
                 if sim.adiabatic:
                     Urc[a] = Urc[a].at[IEN].add(-dE)
                     Ulc[a] = Ulc[a].at[IEN].add(-_shf(dE, -1, a))
+
+        # shearing-box Coriolis on the x2/x3 face states
+        # (:1638-1651, :2053-2064, non-FARGO; physical components)
+        if sim.shearing_box and a != 0:
+            om = sim.omega0
+            Urc[a] = Urc[a].at[IM1].add(dt * om * U[IM1 + 1])
+            Ulc[a] = Ulc[a].at[IM1].add(
+                dt * om * _shf(U[IM1 + 1], -1, a))
+            Urc[a] = Urc[a].at[IM1 + 1].add(-dt * om * U[IM1])
+            Ulc[a] = Ulc[a].at[IM1 + 1].add(
+                -dt * om * _shf(U[IM1], -1, a))
 
         Byzlc[a] = (byl, bzl)
         Byzrc[a] = (byr, bzr)
@@ -216,6 +238,10 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     if phic is not None:
         for c in range(3):
             Mh[c] = Mh[c] - q[c] * (_shf(phif[c], 1, c) - phif[c]) * U[ID]
+    if sim.shearing_box:
+        # (:2222-2227, non-FARGO)
+        Mh[0] = Mh[0] + dt * sim.omega0 * U[IM1 + 1]
+        Mh[1] = Mh[1] - dt * sim.omega0 * U[IM1]
     Bch = [0.5 * (Bf[a] + _shf(Bf[a], 1, a)) for a in axes]
     emf_cc_h = _emf_cc(Bch, Mh[0] / dhalf, Mh[1] / dhalf, Mh[2] / dhalf)
 
@@ -247,6 +273,11 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
 
     # === STEP 10: full-dt CT ================================================
     emf2_ = [_corner_emf(e, Fp2, FByz2, emf_cc_h) for e in axes]
+    if sim.shearing_box:
+        # average the y-EMF on the two x1 boundary faces with the
+        # remapped opposite face so net Bz is conserved (:2451-2480)
+        from ..shearing import remap_ey
+        emf2_[1] = remap_ey(emf2_[1], sim, grid, state.time)
     _dbg(emf_h=emf2_)
     Binew = []
     for a in axes:
@@ -257,7 +288,49 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
 
     # === STEP 11: full-dt source terms ======================================
     Unew = U
-    if phic is not None:
+    if sim.shearing_box:
+        # Crank-Nicolson Coriolis + tidal momentum update on the
+        # y-momentum FLUCTUATION dM2 = M2 + q*Omega*x1*d (:2653-2710,
+        # non-FARGO), plus the fixed-potential energy update (identical
+        # in form to the static-gravity one)
+        import numpy as np
+        om = sim.omega0
+        qsh = sim.qshear
+        om_dt = om * dt
+        fact = om_dt / (2.0 + (2.0 - qsh) * om_dt * om_dt)
+        qom = qsh * om
+        x1c = jnp.asarray(np.asarray(grid.cc_coords(0), U.dtype)
+                          ).reshape(1, 1, -1)
+        x1l = x1c - 0.5 * grid.dx[0]
+        x1r = x1c + 0.5 * grid.dx[0]
+
+        M1n = U[IM1]
+        dM2n = U[IM1 + 1] + qom * x1c * U[ID]
+        fl1 = Fp2[0][IM1 + 1] + qom * x1l * Fp2[0][ID]
+        fr1 = _sh(Fp2[0], 1, 0)[IM1 + 1] + qom * x1r *             _sh(Fp2[0], 1, 0)[ID]
+        fl2 = Fp2[1][IM1 + 1] + qom * x1c * Fp2[1][ID]
+        fr2 = _sh(Fp2[1], 1, 1)[IM1 + 1] + qom * x1c *             _sh(Fp2[1], 1, 1)[ID]
+        fl3 = Fp2[2][IM1 + 1] + qom * x1c * Fp2[2][ID]
+        fr3 = _sh(Fp2[2], 1, 2)[IM1 + 1] + qom * x1c *             _sh(Fp2[2], 1, 2)[ID]
+        M1e = (M1n
+               - q[0] * (_sh(Fp2[0], 1, 0)[IM1] - Fp2[0][IM1])
+               - q[1] * (_sh(Fp2[1], 1, 1)[IM1] - Fp2[1][IM1])
+               - q[2] * (_sh(Fp2[2], 1, 2)[IM1] - Fp2[2][IM1]))
+        dM2e = dM2n - q[0] * (fr1 - fl1) - q[1] * (fr2 - fl2)             - q[2] * (fr3 - fl3)
+        Unew = Unew.at[IM1].add(
+            (4.0 * dM2e + 2.0 * (qsh - 2.0) * om_dt * M1e) * fact)
+        Unew = Unew.at[IM1 + 1].add(
+            2.0 * (qsh - 2.0) * (M1e + om_dt * dM2e) * fact)
+        Unew = Unew.at[IM1 + 1].add(
+            -0.5 * qsh * om_dt * (Fp2[0][ID] + _sh(Fp2[0], 1, 0)[ID]))
+        if phic is not None and sim.adiabatic:
+            for a in axes:
+                phir = _shf(phif[a], 1, a)
+                phil = phif[a]
+                dE = dtodx[a] * (Fp2[a][ID] * (phic - phil) +
+                                 _shf(Fp2[a][ID], 1, a) * (phir - phic))
+                Unew = Unew.at[IEN].add(-dE)
+    elif phic is not None:
         for a in axes:
             phir = _shf(phif[a], 1, a)
             phil = phif[a]

@@ -65,6 +65,8 @@ def parse_configure_line(par: ParameterDB) -> dict:
             out["ion_radiation"] = True
         elif key == "ion-plane":
             out["ion_radplane"] = True
+        elif key == "shearing-box":
+            out["shearing_box"] = True
     if out.get("ion_radplane") and out.get("nscalars", 0) < 1:
         out["nscalars"] = 1
     return out
