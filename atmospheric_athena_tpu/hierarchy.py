@@ -143,17 +143,42 @@ class MeshSimulation:
                       key=lambda i: -levels[i].lev)
         up = sorted(range(1, len(levels)), key=lambda i: levels[i].lev)
 
-        # initial consistency: restrict fine -> coarse, fill BCs, prolong
+        # startup (main.c:400-446): RestrictCorrect with zeroed fluxes —
+        # i.e. pure restriction of U (+ interior faces and Bcc for MHD;
+        # the boundary-plane faces stay, their flux correction is a
+        # no-op) — then bvals, then Prolongate
         for li in down:
             p, c = levels[levels[li].parent], levels[li]
             p.state = p.state.replace(U=smr.restrict_to_parent(
                 p.state.U, c.state.U, p.grid, c.grid, c.link))
+            if sim.mhd:
+                from . import smr_fld
+                Bcp = smr.restrict_to_parent(
+                    p.state.Bcc, c.state.Bcc, p.grid, c.grid, c.link)
+                B1, B2, B3, Bcp = smr_fld.restrict_fld(
+                    p.state.B1i, p.state.B2i, p.state.B3i, Bcp,
+                    c.state.B1i, c.state.B2i, c.state.B3i,
+                    p.grid, c.grid, c.link)
+                p.state = p.state.replace(Bcc=Bcp, B1i=B1, B2i=B2,
+                                          B3i=B3)
         levels[0].state = bvals.apply_bc(levels[0].state, levels[0].grid,
                                          sim, levels[0].problem)
         for li in up:
             p, c = levels[levels[li].parent], levels[li]
             c.state = c.state.replace(U=smr.prolong_ghosts(
-                p.state.U, c.state.U, p.grid, c.grid, c.link))
+                p.state.U, c.state.U, p.grid, c.grid, c.link, sim=sim,
+                Bccc=p.state.Bcc if sim.mhd else None))
+            if sim.mhd:
+                from . import smr_fld
+                B1, B2, B3, Bcc = (c.state.B1i, c.state.B2i,
+                                   c.state.B3i, c.state.Bcc)
+                for dim, region in smr_fld.ghost_regions(c.grid):
+                    B1, B2, B3, Bcc = smr_fld.prolong_fld(
+                        B1, B2, B3, Bcc, p.state.B1i, p.state.B2i,
+                        p.state.B3i, p.grid, c.grid, c.link, region,
+                        dim)
+                c.state = c.state.replace(Bcc=Bcc, B1i=B1, B2i=B2,
+                                          B3i=B3)
         dt0 = jnp.asarray(
             min(float(dt_mod.new_dt(l.state, sim, l.grid,
                                     par.getd_def("time", "cour_no", 0.8)))
@@ -211,6 +236,26 @@ class MeshSimulation:
         if sim.integrator != "ctu":
             raise NotImplementedError("SMR driver uses the CTU integrator")
         from .integrators import ctu3d
+        if sim.mhd:
+            if sim.ion_radplane:
+                raise NotImplementedError("SMR radiation is hydro-only")
+            from . import smr_fld
+            from .integrators import ctu2d_mhd, ctu3d_mhd
+
+        def integ_step(li):
+            if not sim.mhd:
+                return ctu3d.step
+            return (ctu3d_mhd if grids[li].ndim == 3 else ctu2d_mhd).step
+
+        def bflux(FByz, a):
+            """Cell-centered B flux rows for the conserved flux
+            correction (myFlx .B1c/.B2c/.B3c, integrate_3d_ctu.c
+            :3100-3102, :3147-3149, :3194-3195); normal component 0."""
+            z = jnp.zeros_like(FByz[a][0])
+            rows = {0: lambda: [z, FByz[0][0], FByz[0][1]],
+                    1: lambda: [FByz[1][1], z, FByz[1][0]],
+                    2: lambda: [FByz[2][0], FByz[2][1], z]}[a]()
+            return jnp.stack(rows)
 
         # per-level constant fields as jit ARGUMENTS (trace-time constants
         # of hires size overflow the remote-compile payload)
@@ -265,12 +310,12 @@ class MeshSimulation:
                                 links[_li], nvars=[IEN, iscal]))(
                                     states[pi].U, states[li].U))
 
-            # --- hydro on every level with the same dt, saving fluxes
+            # --- hydro/MHD on every level with the same dt, saving fluxes
             fluxes = []
             new_states = []
             for li in range(nlev):
                 snew, F = J(("hydro", li),
-                            lambda s, d, phi_, _li=li: ctu3d.step(
+                            lambda s, d, phi_, _li=li: integ_step(_li)(
                                 s, d, sim, grids[_li], probs[_li],
                                 return_fluxes=True, phi=phi_))(
                                     states[li], dt, auxs[li][0])
@@ -279,18 +324,48 @@ class MeshSimulation:
             states = new_states
 
             # --- RestrictCorrect: conserved restriction + flux correction
+            # (+ face restriction and EMF correction for MHD,
+            # smr.c:1207-1890)
             for li in down:
                 pi = parents[li]
-                Up = J(("correct", li),
-                       lambda Up_, Uc, Fp_, Fc, d, _li=li, _pi=pi:
-                       smr.flux_correct(
-                           smr.restrict_to_parent(
-                               Up_, Uc, grids[_pi], grids[_li],
-                               links[_li]),
-                           Fp_, Fc, grids[_pi], grids[_li], links[_li],
-                           d))(states[pi].U, states[li].U, fluxes[pi],
-                               fluxes[li], dt)
-                states[pi] = states[pi].replace(U=Up)
+                if sim.mhd:
+                    def corr_mhd(ps, cs, Fp_, Fc, d, _li=li, _pi=pi):
+                        pg, fg, lk = grids[_pi], grids[_li], links[_li]
+                        FpU, FpB, pem = Fp_
+                        FcU, FcB, cem = Fc
+                        Up = smr.restrict_to_parent(ps.U, cs.U, pg, fg,
+                                                    lk)
+                        Bcp = smr.restrict_to_parent(ps.Bcc, cs.Bcc, pg,
+                                                     fg, lk)
+                        Up = smr.flux_correct(Up, FpU, FcU, pg, fg, lk,
+                                              d)
+                        Bcp = smr.flux_correct(
+                            Bcp,
+                            {a: bflux(FpB, a) for a in FpB},
+                            {a: bflux(FcB, a) for a in FcB},
+                            pg, fg, lk, d)
+                        B1, B2, B3, Bcp = smr_fld.restrict_fld(
+                            ps.B1i, ps.B2i, ps.B3i, Bcp,
+                            cs.B1i, cs.B2i, cs.B3i, pg, fg, lk)
+                        B1, B2, B3, Bcp = smr_fld.emf_correct(
+                            B1, B2, B3, Bcp, pem, cem, pg, fg, lk, d)
+                        return ps.replace(U=Up, Bcc=Bcp, B1i=B1,
+                                          B2i=B2, B3i=B3)
+                    states[pi] = J(("correct", li), corr_mhd)(
+                        states[pi], states[li], fluxes[pi], fluxes[li],
+                        dt)
+                else:
+                    Up = J(("correct", li),
+                           lambda Up_, Uc, Fp_, Fc, d, _li=li, _pi=pi:
+                           smr.flux_correct(
+                               smr.restrict_to_parent(
+                                   Up_, Uc, grids[_pi], grids[_li],
+                                   links[_li]),
+                               Fp_, Fc, grids[_pi], grids[_li],
+                               links[_li],
+                               d))(states[pi].U, states[li].U,
+                                   fluxes[pi], fluxes[li], dt)
+                    states[pi] = states[pi].replace(U=Up)
                 # `down` is deepest-first, so li's own role as a parent
                 # is finished; free its (large) flux arrays promptly
                 fluxes[li] = None
@@ -335,12 +410,30 @@ class MeshSimulation:
             # --- Prolongate: child ghost zones from the parent
             for li in up:
                 pi = parents[li]
-                states[li] = states[li].replace(
-                    U=J(("prolong", li),
-                        lambda Up, Uc, _li=li, _pi=pi:
-                        smr.prolong_ghosts(
-                            Up, Uc, grids[_pi], grids[_li],
-                            links[_li]))(states[pi].U, states[li].U))
+                if sim.mhd:
+                    def prol_mhd(ps, cs, _li=li, _pi=pi):
+                        pg, fg, lk = grids[_pi], grids[_li], links[_li]
+                        U = smr.prolong_ghosts(ps.U, cs.U, pg, fg,
+                                               lk, sim=sim,
+                                               Bccc=ps.Bcc)
+                        B1, B2, B3, Bcc = (cs.B1i, cs.B2i, cs.B3i,
+                                           cs.Bcc)
+                        for dim, region in smr_fld.ghost_regions(fg):
+                            B1, B2, B3, Bcc = smr_fld.prolong_fld(
+                                B1, B2, B3, Bcc, ps.B1i, ps.B2i,
+                                ps.B3i, pg, fg, lk, region, dim)
+                        return cs.replace(U=U, Bcc=Bcc, B1i=B1, B2i=B2,
+                                          B3i=B3)
+                    states[li] = J(("prolong", li), prol_mhd)(
+                        states[pi], states[li])
+                else:
+                    states[li] = states[li].replace(
+                        U=J(("prolong", li),
+                            lambda Up, Uc, _li=li, _pi=pi:
+                            smr.prolong_ghosts(
+                                Up, Uc, grids[_pi], grids[_li],
+                                links[_li], sim=sim))(states[pi].U,
+                                                      states[li].U))
             return states
 
         return step if phased else jax.jit(step)

@@ -54,7 +54,7 @@ def _emf3_corner(F1d, F1By, F2d, F2Bz, ecc):
 
 
 def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
-         phi=None):
+         phi=None, return_fluxes=False):
     assert sim.mhd and grid.ndim == 2 and grid.active(0) and grid.active(1)
     axes = [0, 1]
     dtodx = {a: dt / grid.dx[a] for a in axes}
@@ -263,5 +263,8 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     kw = {}
     if state.B3i is not None:
         kw["B3i"] = state.B3i.at[grid.interior()].set(B3new[grid.interior()])
-    return state.replace(U=Uout, Bcc=Bcc_out, B1i=Biout[0], B2i=Biout[1],
-                         **kw)
+    out = state.replace(U=Uout, Bcc=Bcc_out, B1i=Biout[0], B2i=Biout[1],
+                        **kw)
+    if return_fluxes:
+        return out, (Fp2, FByz2, [None, None, emf3C])
+    return out

@@ -57,7 +57,7 @@ def _dbg(**kw):
 
 
 def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
-         phi=None):
+         phi=None, return_fluxes=False):
     assert sim.mhd and grid.ndim == 3
     axes = [0, 1, 2]
     dtodx = {a: dt / grid.dx[a] for a in axes}
@@ -364,8 +364,14 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
                          for a in axes])
     Bcc_out = Bcc.at[sl].set(Bcc_new[sl])
 
-    return state.replace(U=Uout, Bcc=Bcc_out, B1i=Biout[0], B2i=Biout[1],
-                         B3i=Biout[2])
+    out = state.replace(U=Uout, Bcc=Bcc_out, B1i=Biout[0], B2i=Biout[1],
+                        B3i=Biout[2])
+    if return_fluxes:
+        # (hydro fluxes, transverse-B fluxes in sweep order, final
+        # corner EMFs [E1,E2,E3]) for the SMR RestrictCorrect
+        # (smr.c:3071-3220 myFlx/myEMF storage)
+        return out, (Fp2, FByz2, emf2_)
+    return out
 
 
 def _emf_cc(B, V1, V2, V3):

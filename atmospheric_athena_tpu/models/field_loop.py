@@ -30,6 +30,11 @@ class FieldLoop:
 
     def __init__(self, par, sim: SimConfig, grid: GridConfig):
         self.par = par
+        # flow direction uses the ROOT domain extents (RootMinX/RootMaxX,
+        # field_loop.c:230-233), not this level's
+        from ..config import grid_config_from_par
+        self.root = grid_config_from_par(par) if par.exist(
+            "domain1", "Nx1") else grid
 
     def init(self, par, sim: SimConfig, grid: GridConfig):
         dtype = sim.jnp_dtype()
@@ -55,19 +60,29 @@ class FieldLoop:
 
         Bcc = jnp.stack([cc(B1i, 0), cc(B2i, 1), cc(B3i, 2)])
 
-        # uniform flow along the domain diagonal (field_loop.c:120-138)
-        diag = math.sqrt(sum((grid.xmax[a] - grid.xmin[a]) ** 2
-                             for a in range(3) if grid.active(a)))
-        sin_a = (grid.xmax[1] - grid.xmin[1]) / diag if grid.active(1) \
-            else 0.0
-        cos_a = (grid.xmax[0] - grid.xmin[0]) / diag
-        d0 = 1.0
+        # uniform flow along the full 3D root-domain diagonal, with a
+        # density (and passive-scalar) enhancement `drat` inside the
+        # loop (field_loop.c:230-253; RootMaxX sizes are used even when
+        # an axis is collapsed, so a 2D run can carry M3)
+        sizes = [self.root.xmax[a] - self.root.xmin[a] for a in range(3)]
+        diag = math.sqrt(sum(sz ** 2 for sz in sizes))
+        drat = par.getd_def("problem", "drat", 1.0)
+        x1c = np.asarray(grid.cc_coords(0)).reshape(1, 1, -1)
+        x2c = np.asarray(grid.cc_coords(1)).reshape(1, -1, 1)
+        x3c = np.asarray(grid.cc_coords(2)).reshape(-1, 1, 1)
+        inloop = (x1c ** 2 + x2c ** 2 + x3c ** 2) < rad * rad
+        d0 = jnp.asarray(np.where(inloop, drat, 1.0), dtype)
+        d0 = jnp.broadcast_to(d0, st.U.shape[1:])
         U = st.U.at[ID].set(d0)
-        U = U.at[IM1].set(d0 * vflow * cos_a)
-        U = U.at[IM1 + 1].set(d0 * vflow * sin_a)
+        U = U.at[IM1].set(d0 * vflow * sizes[0] / diag)
+        U = U.at[IM1 + 1].set(d0 * vflow * sizes[1] / diag)
+        U = U.at[IM1 + 2].set(d0 * vflow * sizes[2] / diag)
         if sim.adiabatic:
             P0 = 1.0
-            ke = 0.5 * d0 * vflow ** 2
+            Msq = U[IM1] ** 2 + U[IM1 + 1] ** 2 + U[IM1 + 2] ** 2
             me = 0.5 * (Bcc[0] ** 2 + Bcc[1] ** 2 + Bcc[2] ** 2)
-            U = U.at[IEN].set(P0 / sim.gamma_1 + ke + me)
+            U = U.at[IEN].set(P0 / sim.gamma_1 + 0.5 * Msq / d0 + me)
+        for n in range(sim.nscalars):
+            U = U.at[sim.ncons - sim.nscalars + n].set(
+                jnp.asarray(np.where(inloop, 1.0, 0.0), dtype))
         return st.replace(U=U, Bcc=Bcc, B1i=B1i, B2i=B2i, B3i=B3i)

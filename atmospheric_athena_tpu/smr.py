@@ -68,18 +68,20 @@ def restrict_mean(q, active):
     layout to the leading (variable) axis at hires scales, materializing a
     21x-padded copy of the level-5 fine grid (15.6 GB for 750 MB of
     data)."""
-    sz = 2 if active[2] else 1
-    sy = 2 if active[1] else 1
-    sx = 2 if active[0] else 1
-    acc = None
-    n = 0
-    for iz in range(sz):
-        for iy in range(sy):
-            for ix in range(sx):
-                t = q[..., iz::sz, iy::sy, ix::sx]
-                acc = t if acc is None else acc + t
-                n += 1
-    return acc / n
+    out = q
+    for a in range(3):
+        if not active[a]:
+            continue
+        adim = out.ndim - 1 - a
+        sl0 = [slice(None)] * out.ndim
+        sl1 = [slice(None)] * out.ndim
+        sl0[adim] = slice(0, None, 2)
+        sl1[adim] = slice(1, None, 2)
+        # one axis at a time: a single triple-strided gather of the full
+        # hires fine level made XLA materialize a lane-padded layout
+        # copy (nv minor -> 21x expansion, 18 GB at 328^3)
+        out = 0.5 * (out[tuple(sl0)] + out[tuple(sl1)])
+    return out
 
 
 def _overlap_slices(grid: GridConfig, link: ChildLink):
@@ -181,38 +183,55 @@ def prolong_box(Uc, active):
     [nv, 2nz, 2ny, 2nx] (per active axis) with mcd-limited slopes.  The
     outermost coarse cell on each active axis is slope-support only — the
     caller passes a box padded by 1 and trims 2 fine cells per side."""
-    out = Uc
+    # ALL slopes are limited on the COARSE data, then applied together
+    # (ProCon: PCon = Ui + (0.5i-0.25)dq1 + (0.5j-0.25)dq2 +
+    # (0.5k-0.25)dq3) — interleaving axis-by-axis and re-limiting on the
+    # half-refined values is NOT the same thing (the limiter is
+    # nonlinear)
+    dq = {}
     for a in range(3):
         if not active[a]:
             continue
-        adim = 3 - a
-        vc = out
-        vl = jnp.roll(out, 1, axis=adim)
-        vr = jnp.roll(out, -1, axis=adim)
-        dq = _mcd_slope(vl, vc, vr)
-        lo = vc - 0.25 * dq
-        hi = vc + 0.25 * dq
-        # interleave with strided stores, not stack+reshape — the odd
-        # reshape earned large stacked arrays a tiled leading-axis layout
-        # from XLA at hires scales (see restrict_mean)
-        shp = list(vc.shape)
-        shp[adim] *= 2
-        out = jnp.zeros(shp, vc.dtype)
-        ilo = [slice(None)] * len(shp)
-        ihi = [slice(None)] * len(shp)
-        ilo[adim] = slice(0, None, 2)
-        ihi[adim] = slice(1, None, 2)
-        out = out.at[tuple(ilo)].set(lo).at[tuple(ihi)].set(hi)
+        adim = Uc.ndim - 1 - a
+        vl = jnp.roll(Uc, 1, axis=adim)
+        vr = jnp.roll(Uc, -1, axis=adim)
+        dq[a] = _mcd_slope(vl, Uc, vr)
+    shp = list(Uc.shape)
+    for a in range(3):
+        if active[a]:
+            shp[Uc.ndim - 1 - a] *= 2
+    out = jnp.zeros(shp, Uc.dtype)
+    offs = [((0, 1) if active[a] else (0,)) for a in range(3)]
+    for oz in offs[2]:
+        for oy in offs[1]:
+            for ox in offs[0]:
+                v = Uc
+                for a, o in ((0, ox), (1, oy), (2, oz)):
+                    if a in dq:
+                        v = v + (0.5 * o - 0.25) * dq[a]
+                idx = [slice(None)] * Uc.ndim
+                for a, o in ((0, ox), (1, oy), (2, oz)):
+                    if active[a]:
+                        idx[Uc.ndim - 1 - a] = slice(o, None, 2)
+                out = out.at[tuple(idx)].set(v)
     return out
 
 
 def prolong_ghosts(Uc, Uf, pgrid: GridConfig, fgrid: GridConfig,
-                   link: ChildLink):
+                   link: ChildLink, sim: Optional[SimConfig] = None,
+                   Bccc=None):
     """Fill ALL child ghost zones from the parent (the hires-deck children
     are fully interior, so every face is a ProlongateLater face,
     bvals_mhd.c:560-575).  Prolongs the coarse box covering the child plus
     nghost/2 coarse ghost layers, then splices only the child's ghost
-    cells (smr.c:2359-2700, second-order ProCon path)."""
+    cells (smr.c:2359-2700, second-order ProCon path).
+
+    When `sim` is given and Newtonian-adiabatic, the energy is prolonged
+    the reference way: ProCon slopes the GAS PRESSURE-like quantity
+    P = E - ke - me ("Prolongate P not E. This is intentionally
+    non-conservative", smr.c:3206-3240) and rebuilds E from the
+    prolonged momenta (and the ProCon-prolonged Bcc, passed as `Bccc`
+    for MHD).  SR prolongs E directly (smr.c:3191-3204)."""
     ng = fgrid.nghost
     ngc = ng // 2
     act = tuple(fgrid.active(a) for a in range(3))
@@ -226,7 +245,30 @@ def prolong_ghosts(Uc, Uf, pgrid: GridConfig, fgrid: GridConfig,
             s, e = 0, 1
         src.append(slice(s, e))
     box = Uc[(slice(None),) + tuple(src)]
+    pressure_e = (sim is not None and sim.adiabatic
+                  and not sim.special_relativity)
+    nbcc = 0
+    if pressure_e:
+        ke = 0.5 * (box[1] ** 2 + box[2] ** 2 + box[3] ** 2) / box[0]
+        P = box[IEN] - ke
+        if sim.mhd:
+            assert Bccc is not None
+            bb = Bccc[(slice(None),) + tuple(src)]
+            P = P - 0.5 * (bb[0] ** 2 + bb[1] ** 2 + bb[2] ** 2)
+            box = jnp.concatenate([box.at[IEN].set(P), bb], 0)
+            nbcc = 3
+        else:
+            box = box.at[IEN].set(P)
     fine = prolong_box(box, act)
+    if pressure_e:
+        kef = 0.5 * (fine[1] ** 2 + fine[2] ** 2 + fine[3] ** 2) \
+            / fine[0]
+        Ef = fine[IEN] + kef
+        if sim.mhd:
+            Ef = Ef + 0.5 * (fine[-3] ** 2 + fine[-2] ** 2 +
+                             fine[-1] ** 2)
+            fine = fine[:-nbcc]
+        fine = fine.at[IEN].set(Ef)
     # trim the slope-support cell (2 fine cells) per active axis
     trim = tuple(slice(2, -2) if act[2 - i] else slice(None)
                  for i in range(3))
