@@ -309,6 +309,16 @@ def _tr_boundary(P, dims):
 def prolong_fld(B1f, B2f, B3f, Bccf, B1p, B2p, B3p,
                 pgrid: GridConfig, fgrid: GridConfig, link: ChildLink,
                 region, dim):
+    if not fgrid.active(2):
+        return _prolong_fld_2d(B1f, B2f, B3f, Bccf, B1p, B2p, B3p,
+                               pgrid, fgrid, link, region, dim)
+    return _prolong_fld_3d(B1f, B2f, B3f, Bccf, B1p, B2p, B3p,
+                           pgrid, fgrid, link, region, dim)
+
+
+def _prolong_fld_3d(B1f, B2f, B3f, Bccf, B1p, B2p, B3p,
+                    pgrid: GridConfig, fgrid: GridConfig,
+                    link: ChildLink, region, dim):
     """Prolongate one ghost slab `region` ((z0,z1),(y0,y1),(x0,x1) fine
     padded cell ranges, 2-aligned to the active box) of the child's face
     fields from the parent's, 3D (smr.c:2725-2875 + ProFld).
@@ -506,3 +516,135 @@ def ghost_regions(fgrid: GridConfig):
             r[2 - a] = (flo[a] + fN[a], flo[a] + fN[a] + ng)
         out.append((dim, tuple(r)))
     return out
+
+
+def _prolong_fld_2d(B1f, B2f, B3f, Bccf, B1p, B2p, B3p,
+                    pgrid: GridConfig, fgrid: GridConfig,
+                    link: ChildLink, region, dim):
+    """2D variant of the face prolongation (smr.c:2638-2662 z-copy BCs
+    make ProFld's z-slopes and all cross terms exact zeros; what remains
+    is transverse-mcd boundary prolongation plus the Uxx/Vyy interior
+    terms).  B3i is cell-centered in 2D and carries the 2D-prolonged
+    B3c (BFld .z = B3i = B3c)."""
+    (_fz0, _fz1), (fy0, fy1), (fx0, fx1) = region
+    s, _e = _box(pgrid, link)
+    flo = [fgrid.lo(a) for a in range(3)]
+    fN = [fgrid.Nx[a] for a in range(3)]
+    nyc, nxc = (fy1 - fy0) // 2, (fx1 - fx0) // 2
+    cy0 = s[1] + (fy0 - flo[1]) // 2
+    cx0 = s[0] + (fx0 - flo[0]) // 2
+    dx1, dx2, dx3 = fgrid.dx
+
+    # boundary-plane fine faces: only the in-plane transverse slope
+    # survives (the z-slope is zero by the GZ copy-BC)
+    def tr1(P, d_fast):
+        def sh(arr, k):
+            sl = [slice(None)] * arr.ndim
+            sl[d_fast] = slice(1 + k, arr.shape[d_fast] - 1 + k)
+            return arr[tuple(sl)]
+        ctr = sh(P, 0)
+        dq = _mcd_slope(sh(P, -1), ctr, sh(P, 1))
+        shp = list(ctr.shape)
+        shp[d_fast] *= 2
+        out = jnp.zeros(shp, P.dtype)
+        for m in (0, 1):
+            sl = [slice(None)] * out.ndim
+            sl[d_fast] = slice(m, None, 2)
+            out = out.at[tuple(sl)].set(ctr + (0.5 * m - 0.25) * dq)
+        return out
+
+    z0 = 0   # single z row
+    FBx = tr1(B1p[z0, cy0 - 1:cy0 + nyc + 1, cx0:cx0 + nxc + 1], 0)
+    FBy = tr1(B2p[z0, cy0:cy0 + nyc + 1, cx0 - 1:cx0 + nxc + 1], 1)
+    # B3 (cell): 2D transverse prolongation in x AND y (ProFld z-face
+    # formulas with BGZ .z = B3c)
+    FBz = _tr_boundary(B3p[None, z0, cy0 - 1:cy0 + nyc + 1,
+                           cx0 - 1:cx0 + nxc + 1], (1, 2))[0]
+
+    # interface override (smr.c:2760-2830, base rows only in 2D)
+    a = dim // 2
+    side = dim % 2
+    iface = flo[a] if side == 0 else flo[a] + fN[a]
+    flush = (side == 0 and (fx1, fy1)[a] == iface) or \
+            (side == 1 and (fx0, fy0)[a] == iface)
+    if flush:
+        pl = (nxc, nyc)[a] if side == 0 else 0
+
+        def act_mask(n, axis, base):
+            i = jnp.arange(n) + base
+            return (i >= flo[axis]) & (i < flo[axis] + fN[axis])
+
+        if a == 0:
+            V = B1f[z0, fy0:fy1, iface]
+            keep = act_mask(fy1 - fy0, 1, fy0)
+            FBx = FBx.at[:, pl].set(jnp.where(keep, V, FBx[:, pl]))
+        else:
+            V = B2f[z0, iface, fx0:fx1]
+            keep = act_mask(fx1 - fx0, 0, fx0)
+            FBy = FBy.at[pl, :].set(jnp.where(keep, V, FBy[pl, :]))
+
+    # interior fine faces: only Uxx/Vyy survive (all xyz cross terms and
+    # Wzz are exact zeros on the z-degenerate data); literal expression
+    # shapes kept for bit parity with ProFld:3419-3452
+    def vxp(j, i):   # PFx[.][j][2i]
+        return FBx[j::2, i:i + nxc]
+
+    def vyp(j, i):   # PFy[.][2j][i]
+        return FBy[j:j + nyc, i::2]
+
+    Uxx = 0.0
+    Vyy = 0.0
+    for j in (0, 1):
+        for i in (0, 1):
+            Uxx = Uxx + (2 * i - 1) * (
+                (2 * j - 1) * dx3 * (vyp(j, i) + vyp(j, i)))
+            Vyy = Vyy + (2 * j - 1) * (
+                (2 * i - 1) * dx3 * (vxp(j, i) + vxp(j, i)))
+    Uxx = Uxx * 0.125 * dx1
+    Vyy = Vyy * 0.125 * dx2
+    FBxi = jnp.zeros((2 * nyc, nxc), FBx.dtype)
+    FByi = jnp.zeros((nyc, 2 * nxc), FBy.dtype)
+    for j in (0, 1):
+        FBxi = FBxi.at[j::2, :].set(
+            0.5 * (vxp(j, 0) + vxp(j, 1)) + Uxx / (dx2 * dx3))
+    for i in (0, 1):
+        FByi = FByi.at[:, i::2].set(
+            0.5 * (vyp(0, i) + vyp(1, i)) + Vyy / (dx3 * dx1))
+
+    xsl = slice(fx0, fx1, 2)
+    src = FBx[:, :-1]
+    if dim == 1:
+        xsl = slice(fx0 + 2, fx1, 2)
+        src = FBx[:, 1:-1]
+    B1f = B1f.at[z0, fy0:fy1, xsl].set(src.astype(B1f.dtype))
+    B1f = B1f.at[z0, fy0:fy1, fx0 + 1:fx1:2].set(FBxi.astype(B1f.dtype))
+
+    ysl = slice(fy0, fy1, 2)
+    src = FBy[:-1, :]
+    if dim == 3:
+        ysl = slice(fy0 + 2, fy1, 2)
+        src = FBy[1:-1, :]
+    B2f = B2f.at[z0, ysl, fx0:fx1].set(src.astype(B2f.dtype))
+    B2f = B2f.at[z0, fy0 + 1:fy1:2, fx0:fx1].set(FByi.astype(B2f.dtype))
+
+    reg = (z0, slice(fy0, fy1), slice(fx0, fx1))
+    B3f = B3f.at[reg].set(FBz.astype(B3f.dtype))
+
+    def interleave(bnd, inner, adim):
+        shp = list(inner.shape)
+        shp[adim] += shp[adim] + 1
+        full = jnp.zeros(shp, bnd.dtype)
+        sl = [slice(None)] * 2
+        sl[adim] = slice(0, None, 2)
+        full = full.at[tuple(sl)].set(bnd)
+        sl[adim] = slice(1, None, 2)
+        return full.at[tuple(sl)].set(inner)
+
+    fullx = interleave(FBx, FBxi, 1)
+    fully = interleave(FBy, FByi, 0)
+    Bccf = Bccf.at[(0,) + reg].set(
+        (0.5 * (fullx[:, :-1] + fullx[:, 1:])).astype(Bccf.dtype))
+    Bccf = Bccf.at[(1,) + reg].set(
+        (0.5 * (fully[:-1, :] + fully[1:, :])).astype(Bccf.dtype))
+    Bccf = Bccf.at[(2,) + reg].set(FBz.astype(Bccf.dtype))
+    return B1f, B2f, B3f, Bccf
