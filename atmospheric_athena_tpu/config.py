@@ -46,6 +46,7 @@ class SimConfig:
     use_pallas: str = "auto"      # fused TPU kernels: auto | on | off
     special_relativity: bool = False  # --enable-special-relativity
     shearing_box: bool = False    # --enable-shearing-box (3D/2D-xy)
+    fargo: bool = False           # --enable-fargo (orbital advection)
     omega0: float = 1.0e-3        # <problem>/Omega (globals.h Omega_0)
     qshear: float = 1.5           # <problem>/qshear
 

@@ -118,8 +118,15 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             om = sim.omega0
             Wl = Wl.at[1].add(dt * om * _sh(W, -1, a)[2])
             Wr = Wr.at[1].add(dt * om * W[2])
-            Wl = Wl.at[2].add(-dt * om * _sh(W, -1, a)[1])
-            Wr = Wr.at[2].add(-dt * om * W[1])
+            if sim.fargo:
+                # orbital advection handles the background shear; only
+                # the epicyclic part remains (:395-397)
+                cf = hdt * (sim.qshear - 2.0) * om
+                Wl = Wl.at[2].add(cf * _sh(W, -1, a)[1])
+                Wr = Wr.at[2].add(cf * W[1])
+            else:
+                Wl = Wl.at[2].add(-dt * om * _sh(W, -1, a)[1])
+                Wr = Wr.at[2].add(-dt * om * W[1])
 
         Bxi = Bi[a]  # face field at interface f = t^n B_ai (:217-218)
         Ul = prim1d_to_cons1d(Wl, Bxi, sim)
@@ -218,9 +225,10 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             Urc[a] = Urc[a].at[IM1].add(dt * om * U[IM1 + 1])
             Ulc[a] = Ulc[a].at[IM1].add(
                 dt * om * _shf(U[IM1 + 1], -1, a))
-            Urc[a] = Urc[a].at[IM1 + 1].add(-dt * om * U[IM1])
+            cf = hdt * (sim.qshear - 2.0) * om if sim.fargo else -dt * om
+            Urc[a] = Urc[a].at[IM1 + 1].add(cf * U[IM1])
             Ulc[a] = Ulc[a].at[IM1 + 1].add(
-                -dt * om * _shf(U[IM1], -1, a))
+                cf * _shf(U[IM1], -1, a))
 
         Byzlc[a] = (byl, bzl)
         Byzrc[a] = (byr, bzr)
@@ -239,9 +247,13 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
         for c in range(3):
             Mh[c] = Mh[c] - q[c] * (_shf(phif[c], 1, c) - phif[c]) * U[ID]
     if sim.shearing_box:
-        # (:2222-2227, non-FARGO)
+        # (:2222-2227)
         Mh[0] = Mh[0] + dt * sim.omega0 * U[IM1 + 1]
-        Mh[1] = Mh[1] - dt * sim.omega0 * U[IM1]
+        if sim.fargo:
+            Mh[1] = Mh[1] + hdt * (sim.qshear - 2.0) * sim.omega0 * \
+                U[IM1]
+        else:
+            Mh[1] = Mh[1] - dt * sim.omega0 * U[IM1]
     Bch = [0.5 * (Bf[a] + _shf(Bf[a], 1, a)) for a in axes]
     emf_cc_h = _emf_cc(Bch, Mh[0] / dhalf, Mh[1] / dhalf, Mh[2] / dhalf)
 
@@ -305,13 +317,27 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
         x1r = x1c + 0.5 * grid.dx[0]
 
         M1n = U[IM1]
-        dM2n = U[IM1 + 1] + qom * x1c * U[ID]
-        fl1 = Fp2[0][IM1 + 1] + qom * x1l * Fp2[0][ID]
-        fr1 = _sh(Fp2[0], 1, 0)[IM1 + 1] + qom * x1r *             _sh(Fp2[0], 1, 0)[ID]
-        fl2 = Fp2[1][IM1 + 1] + qom * x1c * Fp2[1][ID]
-        fr2 = _sh(Fp2[1], 1, 1)[IM1 + 1] + qom * x1c *             _sh(Fp2[1], 1, 1)[ID]
-        fl3 = Fp2[2][IM1 + 1] + qom * x1c * Fp2[2][ID]
-        fr3 = _sh(Fp2[2], 1, 2)[IM1 + 1] + qom * x1c *             _sh(Fp2[2], 1, 2)[ID]
+        if sim.fargo:
+            # with orbital advection the evolved M2 IS the fluctuation
+            # (:2664-2685 FARGO branches)
+            dM2n = U[IM1 + 1]
+            fl1 = Fp2[0][IM1 + 1]
+            fr1 = _sh(Fp2[0], 1, 0)[IM1 + 1]
+            fl2 = Fp2[1][IM1 + 1]
+            fr2 = _sh(Fp2[1], 1, 1)[IM1 + 1]
+            fl3 = Fp2[2][IM1 + 1]
+            fr3 = _sh(Fp2[2], 1, 2)[IM1 + 1]
+        else:
+            dM2n = U[IM1 + 1] + qom * x1c * U[ID]
+            fl1 = Fp2[0][IM1 + 1] + qom * x1l * Fp2[0][ID]
+            fr1 = _sh(Fp2[0], 1, 0)[IM1 + 1] + qom * x1r * \
+                _sh(Fp2[0], 1, 0)[ID]
+            fl2 = Fp2[1][IM1 + 1] + qom * x1c * Fp2[1][ID]
+            fr2 = _sh(Fp2[1], 1, 1)[IM1 + 1] + qom * x1c * \
+                _sh(Fp2[1], 1, 1)[ID]
+            fl3 = Fp2[2][IM1 + 1] + qom * x1c * Fp2[2][ID]
+            fr3 = _sh(Fp2[2], 1, 2)[IM1 + 1] + qom * x1c * \
+                _sh(Fp2[2], 1, 2)[ID]
         M1e = (M1n
                - q[0] * (_sh(Fp2[0], 1, 0)[IM1] - Fp2[0][IM1])
                - q[1] * (_sh(Fp2[1], 1, 1)[IM1] - Fp2[1][IM1])
@@ -321,8 +347,10 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             (4.0 * dM2e + 2.0 * (qsh - 2.0) * om_dt * M1e) * fact)
         Unew = Unew.at[IM1 + 1].add(
             2.0 * (qsh - 2.0) * (M1e + om_dt * dM2e) * fact)
-        Unew = Unew.at[IM1 + 1].add(
-            -0.5 * qsh * om_dt * (Fp2[0][ID] + _sh(Fp2[0], 1, 0)[ID]))
+        if not sim.fargo:
+            Unew = Unew.at[IM1 + 1].add(
+                -0.5 * qsh * om_dt *
+                (Fp2[0][ID] + _sh(Fp2[0], 1, 0)[ID]))
         if phic is not None and sim.adiabatic:
             for a in axes:
                 phir = _shf(phif[a], 1, a)

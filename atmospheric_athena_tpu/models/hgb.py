@@ -83,12 +83,17 @@ class HGB:
         self.par = par
         self.omega0 = par.getd_def("problem", "Omega", 1.0e-3)
         self.qshear = par.getd_def("problem", "qshear", 1.5)
+        self.fargo = sim.fargo
 
     # tidal potential (UnstratifiedDisk, hgb.c:573-581); enrolled as the
     # step's static potential — the integrator's shearing branch applies
     # the Crank-Nicolson Coriolis+tidal momentum update instead of the
     # naive gradient for it
     def static_grav_pot(self, x1, x2, x3):
+        # under FARGO the tidal potential is absorbed by the orbital
+        # scheme: UnstratifiedDisk returns 0 (hgb.c:576-580 #ifndef)
+        if self.fargo:
+            return 0.0 * x1
         return -self.qshear * self.omega0 ** 2 * x1 ** 2
 
     def init(self, par, sim: SimConfig, grid: GridConfig):
@@ -153,10 +158,12 @@ class HGB:
         else:
             raise NotImplementedError(f"hgb ipert={ipert}")
 
-        # background shear (non-FARGO): M2 -= d*q*Omega*x1
+        # background shear (skipped with FARGO, hgb.c:297-299)
         x1a = x1[lo[0]:lo[0] + nx].reshape(1, 1, -1)
         M1 = rd * rv[0]
-        M2 = rd * rv[1] - rd * (qsh * om * x1a)
+        M2 = rd * rv[1]
+        if not sim.fargo:
+            M2 = M2 - rd * (qsh * om * x1a)
         M3 = rd * rv[2]
         E = rp / sim.gamma_1 + 0.5 * (M1 ** 2 + M2 ** 2 + M3 ** 2) / rd
 

@@ -115,12 +115,15 @@ def shearing_sheet(state, sim: SimConfig, grid: GridConfig, time):
         ydim_u, ydim_f = 2, 1    # y dim of [nv,Nz,Ny,Nx] / [Nz,Ny,Nx]
 
         slab = U[..., xs]
-        M2n = slab[IM1 + 1]
-        M2s = M2n + sgn * qomL * slab[ID]
-        slab = slab.at[IM1 + 1].set(M2s)
-        if sim.adiabatic:
-            slab = slab.at[IEN].add(
-                (0.5 / slab[ID]) * (M2s ** 2 - M2n ** 2))
+        if not sim.fargo:
+            # with FARGO the remapped M2 is the fluctuation: no shear
+            # jump across the box (bvals_shear.c:186-195 #ifndef FARGO)
+            M2n = slab[IM1 + 1]
+            M2s = M2n + sgn * qomL * slab[ID]
+            slab = slab.at[IM1 + 1].set(M2s)
+            if sim.adiabatic:
+                slab = slab.at[IEN].add(
+                    (0.5 / slab[ID]) * (M2s ** 2 - M2n ** 2))
         slab = _remap_slab(slab, e, joffset, grid, ydim_u, inner)
         # y-ghost wrap of the slab (step 8)
         Ny = slab.shape[ydim_u]
@@ -215,3 +218,150 @@ def remap_ey(emf2, sim: SimConfig, grid: GridConfig, time):
     emf2 = emf2.at[..., ilo].set(new_lo)
     emf2 = emf2.at[..., ihi].set(new_hi)
     return emf2
+
+
+# ---------------------------------------------------------------------------
+# FARGO orbital advection (bvals_shear.c Fargo():1966-2345)
+# ---------------------------------------------------------------------------
+
+
+def _remap_flux_signed(U, dUm, eps, ydim):
+    """RemapFlux for per-column SIGNED eps (bvals_shear.c:2493-2529):
+    flux at face f (below cell f):  eps>0 -> eps*(U[f-1]+0.5(1-eps)dUm[f-1]);
+    eps<0 -> eps*(U[f]-0.5(1+eps)dUm[f]).  Periodic along ydim."""
+    Fpos = eps * (jnp.roll(U, 1, axis=ydim) +
+                  0.5 * (1.0 - eps) * jnp.roll(dUm, 1, axis=ydim))
+    Fneg = eps * (U - 0.5 * (1.0 + eps) * dUm)
+    return jnp.where(eps > 0.0, Fpos, Fneg)
+
+
+def _fargo_flux(V, yshear, dy, ydim):
+    """Total FARGO transport flux through each y-face for one variable
+    array V (periodic along ydim): the fractional RemapFlux evaluated at
+    the shifted face f-joffset plus the sum over the integer number of
+    swept cells (bvals_shear.c:2133-2173).  yshear broadcasts against V
+    with a size-1 ydim."""
+    joff = jnp.trunc(yshear / dy).astype(jnp.int32)
+    eps = jnp.fmod(yshear, dy) / dy
+    dUm = _dUm(V, ydim)
+    Ffrac = _remap_flux_signed(V, dUm, eps, ydim)
+    n = V.shape[ydim]
+    # gather the fractional flux at face f - joffset (periodic)
+    f = jnp.arange(n)
+    shp = [1] * V.ndim
+    shp[ydim] = n
+    idx = jnp.mod(f.reshape(shp) - joff, n)
+    idx = jnp.broadcast_to(idx, V.shape)
+    F = jnp.take_along_axis(Ffrac, idx, axis=ydim)
+    # integer part: sum_{jj=1..joff} V[f-jj]  (negative joff subtracts)
+    C = jnp.cumsum(V, axis=ydim)              # C[m] = sum_{0..m}
+    tot = jnp.take(C, n - 1, axis=ydim)
+    tot = jnp.expand_dims(tot, ydim)
+
+    def S(m):
+        """sum_{0..m} with periodic extension (m may be out of range)."""
+        wrap = jnp.floor_divide(m + n, n) - 1     # how many full periods
+        mm = jnp.mod(m + n, n)
+        mmb = jnp.broadcast_to(mm, V.shape)
+        return jnp.take_along_axis(C, mmb, axis=ydim) + \
+            wrap.astype(V.dtype) * tot
+
+    fm1 = f.reshape(shp) - 1
+    W = S(fm1) - S(fm1 - joff)
+    return F + W
+
+
+def fargo_advect(state, sim: SimConfig, grid: GridConfig, dt):
+    """Orbital advection: shift every x-column by the local orbital
+    displacement -q*Omega_0*x1*dt in y with a conservative remap, done
+    as flux differences; face B advected with the remap EMFs so div(B)
+    is preserved (bvals_shear.c Fargo():1966-2345, applied after the
+    integrator and before bvals, main.c:576-583)."""
+    ng = grid.nghost
+    jl, ju = grid.lo(1), grid.hi(1)
+    dy = grid.dx[1]
+    qom = sim.qshear * sim.omega0
+    nd3 = grid.active(2)
+    mhd = sim.mhd
+    if mhd and not nd3:
+        raise NotImplementedError("[Fargo] only works in 3D with MHD")
+    U = state.U
+
+    x1c = jnp.asarray(grid.cc_coords(0), U.dtype)
+    x1f = x1c - 0.5 * grid.dx[0]
+    ysh_c = (-qom * dt) * x1c.reshape(1, 1, -1)
+    ysh_f = (-qom * dt) * x1f.reshape(1, 1, -1)
+
+    # energy source for adiabatic MHD (bvals_shear.c:2009-2013), applied
+    # before the remap so the advected E includes it
+    if mhd and sim.adiabatic:
+        qom_dt = qom * dt
+        Bcc = state.Bcc
+        U = U.at[IEN].add(-qom_dt * Bcc[0] *
+                          (Bcc[1] - (qom_dt / 2.0) * Bcc[0]))
+
+    ydim_u, ydim_f = 2, 1
+    act_u = (slice(None), slice(None), slice(jl, ju + 1), slice(None))
+    act_f = (slice(None), slice(jl, ju + 1), slice(None))
+
+    # --- cell-centered variables -------------------------------------
+    V = U[act_u]
+    Fl = _fargo_flux(V, jnp.expand_dims(ysh_c, 0), dy, ydim_u + 1 - 1)
+    dF = jnp.roll(Fl, -1, axis=2) - Fl
+    Unew = U.at[act_u].add(-dF)
+    sl_int = (slice(None),) + grid.interior()
+    Uout = state.U if not (mhd and sim.adiabatic) else U
+    Uout = Uout.at[sl_int].set(Unew[sl_int])
+    kw = {}
+
+    if mhd:
+        B1i, B2i, B3i = state.B1i, state.B2i, state.B3i
+        # emfx = -Vy*Bz at x-cell centers; emfz = Vy*Bx at x-faces
+        emfx = -_fargo_flux(B3i[act_f], ysh_c, dy, ydim_f)
+        emfz = _fargo_flux(B1i[act_f], ysh_f, dy, ydim_f)
+        dx, dz = grid.dx[0], grid.dx[2]
+        dEz_y = jnp.roll(emfz, -1, axis=ydim_f) - emfz
+        dEx_y = jnp.roll(emfx, -1, axis=ydim_f) - emfx
+        B1n = B1i[act_f] - dEz_y
+        B2n = B2i[act_f] + (dy / dx) * (jnp.roll(emfz, -1, axis=2) -
+                                        emfz) \
+            - (dy / dz) * (jnp.roll(emfx, -1, axis=0) - emfx)
+        B3n = B3i[act_f] + dEx_y
+        # splice over active faces (is..ie+1 / js..je+1 / ks..ke+1,
+        # bvals_shear.c:2268-2312: boundary faces via the periodic
+        # images of the fluxes, which the rolls above reproduce)
+        lo = [grid.lo(a) for a in (2, 1, 0)]
+        hi = [grid.hi(a) for a in (2, 1, 0)]
+        # rebuild a full-padded view carrying the new active values
+        B1w = B1i.at[act_f].set(B1n)
+        B2w = B2i.at[act_f].set(B2n)
+        B3w = B3i.at[act_f].set(B3n)
+        # B2i[je+1] is the periodic image of js (the jfe+1 flux row)
+        B2w = B2w.at[:, ju + 1, :].set(B2w[:, jl, :])
+        B1o = state.B1i.at[tuple(
+            [slice(lo[0], hi[0] + 1), slice(lo[1], hi[1] + 1),
+             slice(lo[2], hi[2] + 2)])].set(
+                 B1w[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1,
+                     lo[2]:hi[2] + 2])
+        B2o = state.B2i.at[tuple(
+            [slice(lo[0], hi[0] + 1), slice(lo[1], hi[1] + 2),
+             slice(lo[2], hi[2] + 1)])].set(
+                 B2w[lo[0]:hi[0] + 1, lo[1]:hi[1] + 2,
+                     lo[2]:hi[2] + 1])
+        B3o = state.B3i.at[tuple(
+            [slice(lo[0], hi[0] + 2), slice(lo[1], hi[1] + 1),
+             slice(lo[2], hi[2] + 1)])].set(
+                 B3w[lo[0]:hi[0] + 2, lo[1]:hi[1] + 1,
+                     lo[2]:hi[2] + 1])
+        # cell-centered B from faces over active cells
+        Bcc = state.Bcc
+        intr = grid.interior()
+        Bcc = Bcc.at[(0,) + intr].set(
+            0.5 * (B1o + jnp.roll(B1o, -1, axis=2))[intr])
+        Bcc = Bcc.at[(1,) + intr].set(
+            0.5 * (B2o + jnp.roll(B2o, -1, axis=1))[intr])
+        Bcc = Bcc.at[(2,) + intr].set(
+            0.5 * (B3o + jnp.roll(B3o, -1, axis=0))[intr])
+        kw = dict(Bcc=Bcc, B1i=B1o, B2i=B2o, B3i=B3o)
+
+    return state.replace(U=Uout, **kw)

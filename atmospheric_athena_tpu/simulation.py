@@ -67,6 +67,8 @@ def parse_configure_line(par: ParameterDB) -> dict:
             out["ion_radplane"] = True
         elif key == "shearing-box":
             out["shearing_box"] = True
+        elif key == "fargo":
+            out["fargo"] = True
     if out.get("ion_radplane") and out.get("nscalars", 0) < 1:
         out["nscalars"] = 1
     return out
@@ -247,6 +249,12 @@ class Simulation:
             else:
                 state = integ.step(state, dt, sim, grid, problem,
                                    phi=phi0)
+
+            if sim.fargo:
+                # orbital advection right after the integrator
+                # (main.c:576-583)
+                from .shearing import fargo_advect
+                state = fargo_advect(state, sim, grid, dt)
 
             if userwork is not None:
                 if uw_aux is not None:

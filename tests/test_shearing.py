@@ -70,3 +70,25 @@ def test_shearing_sheet_identity_at_t0():
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-15)
         np.testing.assert_allclose(np.asarray(out.U[0][:, sl_y, xs]),
                                    U[0][:, sl_y, xs], rtol=0, atol=0)
+
+
+@pytest.mark.slow
+def test_hgb_mri_fargo_100cycles():
+    """FARGO orbital advection (bvals_shear.c Fargo():1966-2345 +
+    the hdt*(q-2)*Omega source-term variants in integrate_3d_ctu.c and
+    the zeroed UnstratifiedDisk): same deck as the non-FARGO MRI test,
+    reference built with --enable-fargo, 100 cycles."""
+    s = Simulation.from_file(os.path.join(GOLD_DIR, "athinput.hgb16"),
+                             fargo=True)
+    assert s.sim.fargo
+    s.run(max_steps=100)
+    gold = np.load(os.path.join(GOLD_DIR,
+                                "hgb_fargo_100cycles.npz"))["data"]
+    sl = s.grid.interior()
+    U = np.asarray(s.state.U)
+    B = np.asarray(s.state.Bcc)
+    fields = [U[0], U[1], U[2], U[3], B[0], B[1], B[2]]
+    for i, nm in enumerate(["d", "M1", "M2", "M3", "B1c", "B2c", "B3c"]):
+        np.testing.assert_allclose(
+            np.ravel(fields[i][sl]), gold[:, i], rtol=0, atol=5e-15,
+            err_msg=nm)
