@@ -216,6 +216,16 @@ class MeshSimulation:
 
         jits = {}
 
+        def sync(st):
+            # phased mode: block until this level's phase has EXECUTED
+            # before dispatching the next — with a deep async queue PJRT
+            # allocates every phase's outputs up front, which overflows
+            # HBM on the hires mesh (the axon backend's
+            # block_until_ready is a no-op, so fetch a scalar instead)
+            if phased:
+                float(st.dt)
+            return st
+
         def J(key, fn):
             # cached per-level jit boundaries; under the whole-cycle jit
             # (phased=False) these inline into the outer trace
@@ -297,7 +307,7 @@ class MeshSimulation:
                                   s, sim, grids[_li], ions[_li], t,
                                   cour_no, inlet=inl, tcoarse=tc))(
                                       states[li], time, inlet, tcoarse)
-                    states[li] = sl
+                    states[li] = sync(sl)
                 # ionradRestrictCorrect: E and s0 fine -> coarse
                 iscal = 5 if sim.adiabatic else 4
                 for li in down:
@@ -310,17 +320,51 @@ class MeshSimulation:
                                 links[_li], nvars=[IEN, iscal]))(
                                     states[pi].U, states[li].U))
 
-            # --- hydro/MHD on every level with the same dt, saving fluxes
-            fluxes = []
+            # --- hydro/MHD on every level with the same dt.  Each
+            # level's jit returns ONLY the boundary-plane fluxes/EMFs
+            # the corrections need (pCO/pPO myFlx+myEMF,
+            # integrate_3d_ctu.c:3060-3330) — never the full flux
+            # cubes, whose three 320^3 copies alone are 2.5 GB
+            children = {li: [c for c in range(1, nlev)
+                             if parents[c] == li] for li in range(nlev)}
+            planes = []
             new_states = []
             for li in range(nlev):
-                snew, F = J(("hydro", li),
-                            lambda s, d, phi_, _li=li: integ_step(_li)(
-                                s, d, sim, grids[_li], probs[_li],
-                                return_fluxes=True, phi=phi_))(
-                                    states[li], dt, auxs[li][0])
-                new_states.append(snew)
-                fluxes.append(F)
+                def hyd(s, d, phi_, _li=li):
+                    out = integ_step(_li)(s, d, sim, grids[_li],
+                                          probs[_li], return_fluxes=True,
+                                          phi=phi_)
+                    if sim.mhd:
+                        snew, (FU, FByz, emfs) = out
+                        FB = {a: bflux(FByz, a) for a in FU}
+                    else:
+                        snew, FU = out
+                        FB, emfs = None, None
+                    pk = {}
+                    if parents[_li] is not None:
+                        pk["own"] = {
+                            "U": smr.boundary_flux_planes_fine(
+                                FU, grids[_li])}
+                        if sim.mhd:
+                            pk["own"]["B"] = \
+                                smr.boundary_flux_planes_fine(
+                                    FB, grids[_li])
+                            pk["own"]["E"] = smr_fld.emf_planes_fine(
+                                emfs, grids[_li])
+                    for ci in children[_li]:
+                        cp = {"U": smr.boundary_flux_planes_coarse(
+                            FU, grids[_li], links[ci])}
+                        if sim.mhd:
+                            cp["B"] = smr.boundary_flux_planes_coarse(
+                                FB, grids[_li], links[ci])
+                            cp["E"] = smr_fld.emf_planes_coarse(
+                                emfs, grids[_li], links[ci])
+                        pk[ci] = cp
+                    return snew, pk
+                snew, pk = J(("hydro", li), hyd)(states[li], dt,
+                                                 auxs[li][0])
+                new_states.append(sync(snew))
+                planes.append(pk)
             states = new_states
 
             # --- RestrictCorrect: conserved restriction + flux correction
@@ -328,48 +372,43 @@ class MeshSimulation:
             # smr.c:1207-1890)
             for li in down:
                 pi = parents[li]
+                cpl = planes[pi][li]
+                fpl = planes[li]["own"]
                 if sim.mhd:
-                    def corr_mhd(ps, cs, Fp_, Fc, d, _li=li, _pi=pi):
+                    def corr_mhd(ps, cs, cpl_, fpl_, d, _li=li, _pi=pi):
                         pg, fg, lk = grids[_pi], grids[_li], links[_li]
-                        FpU, FpB, pem = Fp_
-                        FcU, FcB, cem = Fc
                         Up = smr.restrict_to_parent(ps.U, cs.U, pg, fg,
                                                     lk)
                         Bcp = smr.restrict_to_parent(ps.Bcc, cs.Bcc, pg,
                                                      fg, lk)
-                        Up = smr.flux_correct(Up, FpU, FcU, pg, fg, lk,
-                                              d)
-                        Bcp = smr.flux_correct(
-                            Bcp,
-                            {a: bflux(FpB, a) for a in FpB},
-                            {a: bflux(FcB, a) for a in FcB},
-                            pg, fg, lk, d)
+                        Up = smr.flux_correct_planes(
+                            Up, cpl_["U"], fpl_["U"], pg, fg, lk, d)
+                        Bcp = smr.flux_correct_planes(
+                            Bcp, cpl_["B"], fpl_["B"], pg, fg, lk, d)
                         B1, B2, B3, Bcp = smr_fld.restrict_fld(
                             ps.B1i, ps.B2i, ps.B3i, Bcp,
                             cs.B1i, cs.B2i, cs.B3i, pg, fg, lk)
-                        B1, B2, B3, Bcp = smr_fld.emf_correct(
-                            B1, B2, B3, Bcp, pem, cem, pg, fg, lk, d)
+                        B1, B2, B3, Bcp = smr_fld.emf_correct_planes(
+                            B1, B2, B3, Bcp, cpl_["E"], fpl_["E"],
+                            pg, fg, lk, d)
                         return ps.replace(U=Up, Bcc=Bcp, B1i=B1,
                                           B2i=B2, B3i=B3)
-                    states[pi] = J(("correct", li), corr_mhd)(
-                        states[pi], states[li], fluxes[pi], fluxes[li],
-                        dt)
+                    states[pi] = sync(J(("correct", li), corr_mhd)(
+                        states[pi], states[li], cpl, fpl, dt))
                 else:
                     Up = J(("correct", li),
-                           lambda Up_, Uc, Fp_, Fc, d, _li=li, _pi=pi:
-                           smr.flux_correct(
+                           lambda Up_, Uc, cpl_, fpl_, d, _li=li,
+                           _pi=pi:
+                           smr.flux_correct_planes(
                                smr.restrict_to_parent(
                                    Up_, Uc, grids[_pi], grids[_li],
                                    links[_li]),
-                               Fp_, Fc, grids[_pi], grids[_li],
-                               links[_li],
+                               cpl_["U"], fpl_["U"], grids[_pi],
+                               grids[_li], links[_li],
                                d))(states[pi].U, states[li].U,
-                                   fluxes[pi], fluxes[li], dt)
-                    states[pi] = states[pi].replace(U=Up)
-                # `down` is deepest-first, so li's own role as a parent
-                # is finished; free its (large) flux arrays promptly
-                fluxes[li] = None
-            fluxes = None
+                                   cpl, fpl, dt)
+                    states[pi] = sync(states[pi].replace(U=Up))
+            planes = None
 
             # --- Userwork (prob/ioniz_sphere.c:255-306 core reset)
             for li in range(nlev):
@@ -424,8 +463,8 @@ class MeshSimulation:
                                 ps.B3i, pg, fg, lk, region, dim)
                         return cs.replace(U=U, Bcc=Bcc, B1i=B1, B2i=B2,
                                           B3i=B3)
-                    states[li] = J(("prolong", li), prol_mhd)(
-                        states[pi], states[li])
+                    states[li] = sync(J(("prolong", li), prol_mhd)(
+                        states[pi], states[li]))
                 else:
                     states[li] = states[li].replace(
                         U=J(("prolong", li),
@@ -434,6 +473,7 @@ class MeshSimulation:
                                 Up, Uc, grids[_pi], grids[_li],
                                 links[_li], sim=sim))(states[pi].U,
                                                       states[li].U))
+                    states[li] = sync(states[li])
             return states
 
         return step if phased else jax.jit(step)

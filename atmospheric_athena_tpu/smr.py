@@ -308,3 +308,66 @@ def child_inlet_flux(parent_eflux, pgrid: GridConfig, fgrid: GridConfig,
         plane = jnp.repeat(plane, 2, axis=i)
     # insert the sweep axis back as a trailing singleton for broadcasting
     return jnp.expand_dims(plane, adim if adim < plane.ndim else plane.ndim)
+
+
+def boundary_flux_planes_fine(F, fgrid: GridConfig):
+    """The child's own interface fluxes on its 6 boundary planes over the
+    active transverse box — what the reference stores in pPO->myFlx
+    (integrate_3d_ctu.c:3230-3300) instead of whole flux cubes."""
+    out = {}
+    for a in range(3):
+        if not fgrid.active(a):
+            continue
+        adim = 2 - a
+        for side in (0, 1):
+            fs = list((slice(None),) + fgrid.interior())
+            fs[1 + adim] = fgrid.lo(a) + (0 if side == 0 else fgrid.Nx[a])
+            out[(a, side)] = F[a][tuple(fs)]
+    return out
+
+
+def boundary_flux_planes_coarse(F, pgrid: GridConfig, link: ChildLink):
+    """The parent's fluxes on the child-overlap boundary planes
+    (pCO->myFlx, integrate_3d_ctu.c:3080-3200)."""
+    out = {}
+    for a in range(3):
+        if not pgrid.active(a):
+            continue
+        adim = 2 - a
+        for side in (0, 1):
+            face_idx = pgrid.lo(a) + (link.start[a] if side == 0
+                                      else link.end[a])
+            csl = list((slice(None),) + _overlap_slices(pgrid, link))
+            csl[1 + adim] = face_idx
+            out[(a, side)] = F[a][tuple(csl)]
+    return out
+
+
+def flux_correct_planes(Up, cplanes, fplanes, pgrid: GridConfig,
+                        fgrid: GridConfig, link: ChildLink, dt):
+    """flux_correct on pre-extracted boundary planes (the memory-correct
+    form: per-level integrators return only these planes, never the full
+    flux cubes — a 320^3 level's three flux cubes alone are 2.5 GB)."""
+    U = Up
+    for a in range(3):
+        if not pgrid.active(a):
+            continue
+        adim = 2 - a
+        dtodx = dt / pgrid.dx[a]
+        act = [fgrid.active(x) for x in range(3)]
+        act[a] = False
+        for side, sgn in ((0, -1.0), (1, +1.0)):
+            pc = pgrid.lo(a) + link.start[a] - 1 if side == 0 \
+                else pgrid.lo(a) + link.end[a]
+            if pc < pgrid.lo(a) or pc > pgrid.hi(a):
+                continue
+            psl = list(_overlap_slices(pgrid, link))
+            psl[adim] = pc
+            cf_sl = (slice(None),) + tuple(psl)
+            Fc = cplanes[(a, side)]
+            Ff = fplanes[(a, side)]
+            Ff = restrict_mean(jnp.expand_dims(Ff, 1 + adim),
+                               act).squeeze(1 + adim)
+            corr = sgn * dtodx * (Fc - Ff.astype(Fc.dtype))
+            U = U.at[cf_sl].add(-corr)
+    return U

@@ -132,6 +132,15 @@ def restrict_fld(B1p, B2p, B3p, Bccp, B1f, B2f, B3f,
 def emf_correct(B1p, B2p, B3p, Bccp, pemf, femf,
                 pgrid: GridConfig, fgrid: GridConfig, link: ChildLink,
                 dt):
+    """Full-array convenience wrapper around emf_correct_planes."""
+    return emf_correct_planes(
+        B1p, B2p, B3p, Bccp, emf_planes_coarse(pemf, pgrid, link),
+        emf_planes_fine(femf, fgrid), pgrid, fgrid, link, dt)
+
+
+def emf_correct_planes(B1p, B2p, B3p, Bccp, cpl, fpl,
+                       pgrid: GridConfig, fgrid: GridConfig,
+                       link: ChildLink, dt):
     """Step 2b of RestrictCorrect (smr.c:1589-1890): on each corrected
     fine/coarse boundary, re-advance the coarse transverse faces one
     layer outside the child and the normal face ON the boundary with
@@ -155,19 +164,15 @@ def emf_correct(B1p, B2p, B3p, Bccp, pemf, femf,
     yf = slice(s[1], e[1] + 1)
     xf = slice(s[0], e[0] + 1)
 
-    fzc = slice(flo[2], flo[2] + fN[2]) if nd3 else slice(None)
-    fyc = slice(flo[1], flo[1] + fN[1])
-    fxc = slice(flo[0], flo[0] + fN[0])
-    fzf = slice(flo[2], flo[2] + fN[2] + 1, 2) if nd3 else slice(None)
-    fyf = slice(flo[1], flo[1] + fN[1] + 1, 2)
-    fxf = slice(flo[0], flo[0] + fN[0] + 1, 2)
-
-    def davg(E, sl, axis, do=True):
-        # line-average along the EMF's own direction: `axis` is the
-        # index within the REMAINING 2 dims after the plane slice (a 2D
-        # run copies EMF3 without averaging, smr.c:2240-2246)
-        f = E[tuple(sl)]
-        return _pair_avg(f, axis) if do else f
+    def rstr(pl, face_axis, avg_axis, do_avg=True):
+        # restrict a fine boundary-EMF plane: take the even (coarse-
+        # aligned) faces along face_axis, pair-average along the EMF
+        # direction avg_axis (a 2D run copies EMF3 without averaging,
+        # smr.c:2240-2246)
+        sl = [slice(None), slice(None)]
+        sl[face_axis] = slice(0, None, 2)
+        f = pl[tuple(sl)]
+        return _pair_avg(f, avg_axis) if do_avg else f
 
     # ---- x1 faces (dims 0/1; smr.c:1589-1675) ---------------------------
     for side in (0, 1):
@@ -181,12 +186,12 @@ def emf_correct(B1p, B2p, B3p, Bccp, pemf, femf,
             q1 = q[0]
         q2, q3 = -q[1], -q[2]
         # Ez on the boundary plane: cells k, faces j
-        dEz = pemf[2][zc, yf, ib] - davg(femf[2], [fzc, fyf, ff], 0, nd3)
+        dEz = cpl[(0, side, 2)] - rstr(fpl[(0, side, 2)], 1, 0, nd3)
         B2p = B2p.at[zc, yf, iout].add(q1 * dEz)
         B1p = B1p.at[zc, yc, ib].add(-q2 * (dEz[:, 1:] - dEz[:, :-1]))
         if nd3:
             # Ey: faces k, cells j
-            dEy = pemf[1][zf, yc, ib] - davg(femf[1], [fzf, fyc, ff], 1)
+            dEy = cpl[(0, side, 1)] - rstr(fpl[(0, side, 1)], 0, 1)
             B3p = B3p.at[zf, yc, iout].add(-q1 * dEy)
             B1p = B1p.at[zc, yc, ib].add(q3 * (dEy[1:, :] - dEy[:-1, :]))
             B3cs = slice(s[2] - 1, e[2] + 1)
@@ -214,12 +219,12 @@ def emf_correct(B1p, B2p, B3p, Bccp, pemf, femf,
             q2 = q[1]
         q1, q3 = -q[0], -q[2]
         # Ez on the plane: cells k, faces i
-        dEz = pemf[2][zc, jb, xf] - davg(femf[2], [fzc, ff, fxf], 0, nd3)
+        dEz = cpl[(1, side, 2)] - rstr(fpl[(1, side, 2)], 1, 0, nd3)
         B1p = B1p.at[zc, jout, xf].add(-q2 * dEz)
         B2p = B2p.at[zc, jb, xc].add(q1 * (dEz[:, 1:] - dEz[:, :-1]))
         if nd3:
             # Ex: faces k, cells i
-            dEx = pemf[0][zf, jb, xc] - davg(femf[0], [fzf, ff, fxc], 1)
+            dEx = cpl[(1, side, 0)] - rstr(fpl[(1, side, 0)], 0, 1)
             B3p = B3p.at[zf, jout, xc].add(q2 * dEx)
             B2p = B2p.at[zc, jb, xc].add(-q3 * (dEx[1:, :] - dEx[:-1, :]))
             Bccp = Bccp.at[2, slice(s[2] - 1, e[2] + 1), jout, xc].set(
@@ -246,10 +251,10 @@ def emf_correct(B1p, B2p, B3p, Bccp, pemf, femf,
                 q3 = q[2]
             q1, q2 = -q[0], -q[1]
             # Ex on the plane: faces j, cells i
-            dEx = pemf[0][kb, yf, xc] - davg(femf[0], [ff, fyf, fxc], 1)
+            dEx = cpl[(2, side, 0)] - rstr(fpl[(2, side, 0)], 0, 1)
             B2p = B2p.at[kout, yf, xc].add(-q3 * dEx)
             # Ey on the plane: cells j, faces i
-            dEy = pemf[1][kb, yc, xf] - davg(femf[1], [ff, fyc, fxf], 0)
+            dEy = cpl[(2, side, 1)] - rstr(fpl[(2, side, 1)], 1, 0)
             B1p = B1p.at[kout, yc, xf].add(q3 * dEy)
             B3p = B3p.at[kb, yc, xc].add(
                 q2 * (dEx[1:, :] - dEx[:-1, :]) -
@@ -648,3 +653,57 @@ def _prolong_fld_2d(B1f, B2f, B3f, Bccf, B1p, B2p, B3p,
         (0.5 * (fully[:-1, :] + fully[1:, :])).astype(Bccf.dtype))
     Bccf = Bccf.at[(2,) + reg].set(FBz.astype(Bccf.dtype))
     return B1f, B2f, B3f, Bccf
+
+
+def emf_planes_coarse(pemf, pgrid: GridConfig, link: ChildLink):
+    """Coarse corner-EMF values on the child-overlap boundary planes
+    (pCO->myEMF*, integrate_3d_ctu.c:3110-3220): {(axis, side, comp)}."""
+    s, e = _box(pgrid, link)
+    nd3 = pgrid.active(2)
+    zc, yc, xc = slice(s[2], e[2]), slice(s[1], e[1]), slice(s[0], e[0])
+    zf, yf, xf = (slice(s[2], e[2] + 1), slice(s[1], e[1] + 1),
+                  slice(s[0], e[0] + 1))
+    out = {}
+    for side in (0, 1):
+        ib = s[0] if side == 0 else e[0]
+        out[(0, side, 2)] = pemf[2][zc, yf, ib]
+        if nd3:
+            out[(0, side, 1)] = pemf[1][zf, yc, ib]
+        jb = s[1] if side == 0 else e[1]
+        out[(1, side, 2)] = pemf[2][zc, jb, xf]
+        if nd3:
+            out[(1, side, 0)] = pemf[0][zf, jb, xc]
+        if nd3:
+            kb = s[2] if side == 0 else e[2]
+            out[(2, side, 0)] = pemf[0][kb, yf, xc]
+            out[(2, side, 1)] = pemf[1][kb, yc, xf]
+    return out
+
+
+def emf_planes_fine(femf, fgrid: GridConfig):
+    """The child's own boundary corner-EMF planes, unrestricted
+    (pPO->myEMF*, integrate_3d_ctu.c:3230-3330)."""
+    flo = [fgrid.lo(a) for a in range(3)]
+    fN = [fgrid.Nx[a] for a in range(3)]
+    nd3 = fgrid.active(2)
+    fzc = slice(flo[2], flo[2] + fN[2]) if nd3 else slice(None)
+    fyc = slice(flo[1], flo[1] + fN[1])
+    fxc = slice(flo[0], flo[0] + fN[0])
+    fzf = slice(flo[2], flo[2] + fN[2] + 1) if nd3 else slice(None)
+    fyf = slice(flo[1], flo[1] + fN[1] + 1)
+    fxf = slice(flo[0], flo[0] + fN[0] + 1)
+    out = {}
+    for side in (0, 1):
+        ff = flo[0] + (0 if side == 0 else fN[0])
+        out[(0, side, 2)] = femf[2][fzc, fyf, ff]
+        if nd3:
+            out[(0, side, 1)] = femf[1][fzf, fyc, ff]
+        ff = flo[1] + (0 if side == 0 else fN[1])
+        out[(1, side, 2)] = femf[2][fzc, ff, fxf]
+        if nd3:
+            out[(1, side, 0)] = femf[0][fzf, ff, fxc]
+        if nd3:
+            ff = flo[2] + (0 if side == 0 else fN[2])
+            out[(2, side, 0)] = femf[0][ff, fyf, fxc]
+            out[(2, side, 1)] = femf[1][ff, fyc, fxf]
+    return out
