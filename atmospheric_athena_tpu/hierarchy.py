@@ -286,11 +286,50 @@ class MeshSimulation:
             # --- radiation: root first (sets dt & tcoarse), then fine
             # levels to tcoarse with the parent EdgeFlux inlet
             # (main.c:541-556; ionrad_3d.c:836-852, 914-962)
+            RAD_CHUNK = 1500   # bounded per-execution iterations
+
+            def run_rad(li, st, t, inl, tc):
+                # root (li==0): inl/tc are None and dt feeds the mesh
+                key = "rad" if inl is None else "radc"
+                if not phased:
+                    if inl is None:
+                        return J((key, li), lambda s, t_, _li=li:
+                                 ion_radtransfer(s, sim, grids[_li],
+                                                 ions[_li], t_,
+                                                 cour_no))(st, t)
+                    return J((key, li), lambda s, t_, i_, c_, _li=li:
+                             ion_radtransfer(s, sim, grids[_li],
+                                             ions[_li], t_, cour_no,
+                                             inlet=i_, tcoarse=c_))(
+                                                 st, t, inl, tc)
+                # phased: host loop over bounded chunks (a single
+                # multi-minute radiation execution gets killed by the
+                # remote-TPU watchdog)
+                args = (st, t) if inl is None else (st, t, inl, tc)
+
+                def mk(cap, with_carry):
+                    def f(s, t_, *rest, _li=li, _cap=cap):
+                        i_ = rest[0] if inl is not None else None
+                        c_ = rest[1] if inl is not None else None
+                        cy = rest[-1] if with_carry else None
+                        return ion_radtransfer(
+                            s, sim, grids[_li], ions[_li], t_, cour_no,
+                            inlet=i_, tcoarse=c_, carry=cy,
+                            niter_cap=_cap,
+                            return_carry=(_cap != 0))
+                    return f
+                c = J((key + "ch0", li), mk(RAD_CHUNK, False))(*args)
+                while (not bool(c.stop)) and                         int(c.niter) < int(ion_maxiter(li)):
+                    c = J((key + "ch", li), mk(RAD_CHUNK, True))(
+                        *args, c)
+                return J((key + "fin", li), mk(0, True))(*args, c)
+
+            def ion_maxiter(li):
+                return ions[li].maxiter
+
             if sim.ion_radplane:
                 states = [s.replace(dt=dt) for s in states]
-                s0, dt = J(("rad", 0), lambda s, t: ion_radtransfer(
-                    s, sim, grids[0], ions[0], t, cour_no))(
-                        states[0], time)
+                s0, dt = run_rad(0, states[0], time, None, None)
                 states[0] = s0
                 tcoarse = dt
                 for li in up:
@@ -301,12 +340,8 @@ class MeshSimulation:
                                   E, grids[_pi], grids[_li],
                                   links[_li], direction))(
                                       states[pi].Eflux)
-                    sl, _ = J(("rad", li),
-                              lambda s, t, inl, tc, _li=li:
-                              ion_radtransfer(
-                                  s, sim, grids[_li], ions[_li], t,
-                                  cour_no, inlet=inl, tcoarse=tc))(
-                                      states[li], time, inlet, tcoarse)
+                    sl, _ = run_rad(li, states[li], time, inlet,
+                                    tcoarse)
                     states[li] = sync(sl)
                 # ionradRestrictCorrect: E and s0 fine -> coarse
                 iscal = 5 if sim.adiabatic else 4

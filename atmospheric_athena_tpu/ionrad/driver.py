@@ -229,7 +229,8 @@ def dti_percell(s0_unused, E, d, M1, M2, M3, sim: SimConfig,
 def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
                     ion: IonConfig, time, cour_no: float,
                     inlet=None, tcoarse=None, return_niter=False,
-                    mesh=None):
+                    mesh=None, carry=None, niter_cap=None,
+                    return_carry=False):
     """One radiation step: floors + sub-cycled chemistry/heating.
 
     `cour_no` is <time>/cour_no, needed by the compute_dt_hydro stopping
@@ -394,7 +395,20 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
         niter=jnp.zeros((), jnp.int32),
         stop=jnp.zeros((), bool),
         eflux=eflux0)
+    if carry is not None:
+        init = carry
+    if niter_cap is not None:
+        # bounded chunk (the axon tunnel kills single executions that
+        # run for minutes; the phased SMR driver loops chunks on host)
+        base = init.niter
+        orig_cond = cond
+
+        def cond(c: _Carry):
+            return orig_cond(c) & (c.niter < base + niter_cap)
+
     out = jax.lax.while_loop(cond, body, init)
+    if return_carry:
+        return out
 
     # maxiter exit without a stop condition: dt = dt_done (ionrad_3d.c:1022)
     if tcoarse is None:
