@@ -394,7 +394,7 @@ class MeshSimulation:
                                 FB, grids[_li], links[ci])
                             cp["E"] = smr_fld.emf_planes_coarse(
                                 emfs, grids[_li], links[ci])
-                        pk[ci] = cp
+                        pk[f"child{ci}"] = cp
                     return snew, pk
                 snew, pk = J(("hydro", li), hyd)(states[li], dt,
                                                  auxs[li][0])
@@ -407,7 +407,7 @@ class MeshSimulation:
             # smr.c:1207-1890)
             for li in down:
                 pi = parents[li]
-                cpl = planes[pi][li]
+                cpl = planes[pi][f"child{li}"]
                 fpl = planes[li]["own"]
                 if sim.mhd:
                     def corr_mhd(ps, cs, cpl_, fpl_, d, _li=li, _pi=pi):
