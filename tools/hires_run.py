@@ -1,7 +1,7 @@
 """Run the flagship 5-level SMR production deck
 (tst/massloss/athinput.ioniz_sphere_hires) end-to-end for N cycles on the
 real chip and record sanity metrics (finiteness, mass, timing) to
-SMR_HIRES_r03.json."""
+SMR_HIRES_r04.json."""
 import json, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax, jax.numpy as jnp
@@ -41,5 +41,5 @@ out = dict(ncyc=NCYC, wall_after_first=wall,
            finite=finite, level_masses=masses,
            levels=[list(l.grid.Nx) for l in s.levels])
 print(json.dumps(out), flush=True)
-with open('SMR_HIRES_r03.json', 'w') as f:
+with open('SMR_HIRES_r04.json', 'w') as f:
     json.dump(out, f, indent=1)

@@ -1,0 +1,188 @@
+"""Multichip validation + measurement on the virtual 8-device CPU mesh
+(VERDICT r3 item 2 artifact — written to MULTICHIP_MEASURE_r{N}.json, a
+name the round driver does NOT clobber).
+
+Measures, on an 8-virtual-device CPU mesh (the only multi-device
+configuration available in this environment — one real TPU chip, no ICI):
+  - sharded-vs-serial step equivalence (relative error),
+  - per-step wall times serial vs 8-way z-sharded GSPMD,
+  - speedup / parallel efficiency (bounded by the 2 PHYSICAL cores of
+    this host — recorded alongside so the numbers are interpretable),
+  - collective-op counts from the compiled HLO (all-reduce /
+    collective-permute / all-gather / reduce-scatter / all-to-all),
+  - distributed radiation scan timings + bitwise equivalence,
+  - explicit-halo overlapped step (parallel/overlap.py): full step vs
+    exchange-only vs compute-only, and the halo-overlap % estimate
+    overlap = (t_exchange + t_compute - t_full) / t_exchange.
+
+Run:  python tools/multichip_measure.py        (forces JAX_PLATFORMS=cpu)
+"""
+import json
+import os
+import sys
+import time
+
+here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, here)
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from atmospheric_athena_tpu import ParameterDB
+from atmospheric_athena_tpu.parallel.mesh import (make_mesh, shard_state,
+                                                  state_shardings)
+from atmospheric_athena_tpu.simulation import Simulation
+
+N = int(os.environ.get("MC_N", "64"))
+REPS = int(os.environ.get("MC_REPS", "5"))
+
+from __graft_entry__ import _ISPH_DECK
+
+out = {"devices": len(jax.devices()), "n": N,
+       "physical_cores": os.cpu_count(),
+       "note": ("8 virtual CPU devices on %d physical cores: wall-clock "
+                "speedup is bounded by the core count; collective counts "
+                "and equivalence are exact, timings bound plumbing "
+                "overhead only (no ICI on this host)" % os.cpu_count())}
+par = ParameterDB.from_string(_ISPH_DECK.format(n=N))
+s = Simulation.from_par(par, problem="ioniz_sphere", dtype="float32")
+fn = s._build_step().__wrapped__
+aux = s._step_aux
+
+
+def timeit(f, *a):
+    r = f(*a)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        r = f(*a)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / REPS, r
+
+
+def collective_counts(compiled):
+    txt = compiled.as_text()
+    return {k: txt.count(k) for k in
+            ("all-reduce", "collective-permute", "all-gather",
+             "reduce-scatter", "all-to-all")}
+
+
+# --- serial (1 device) --------------------------------------------------
+f1 = jax.jit(fn)
+t1, out1 = timeit(f1, s.state, aux)
+out["serial_step_s"] = t1
+
+# --- z-sharded GSPMD step over 8 devices --------------------------------
+mesh = make_mesh(8)
+sh = state_shardings(mesh, s.sim)
+stS = shard_state(s.state, mesh, s.sim)
+f8 = jax.jit(lambda st: fn(st, aux), in_shardings=(sh,), out_shardings=sh)
+t8, out8 = timeit(f8, stS)
+out["sharded_step_s"] = t8
+out["speedup_8dev"] = t1 / t8
+out["parallel_efficiency_vs_8dev"] = t1 / t8 / 8.0
+out["parallel_efficiency_vs_cores"] = t1 / t8 / os.cpu_count()
+out["collectives_gspmd_step"] = collective_counts(
+    jax.jit(lambda st: fn(st, aux), in_shardings=(sh,),
+            out_shardings=sh).lower(stS).compile())
+err = float(np.abs(np.asarray(out8.U) - np.asarray(out1.U)).max())
+scale = float(np.abs(np.asarray(out1.U)).max())
+out["step_rel_err_sharded_vs_serial"] = err / scale
+
+# --- x-sharded distributed radiation scan (shard_map + ppermute) --------
+from atmospheric_athena_tpu.ionrad.config import ion_config_from_par
+from atmospheric_athena_tpu.ionrad.plane import (get_ph_rate_plane,
+                                                 get_ph_rate_plane_dist)
+
+ion = ion_config_from_par(par, s.grid,
+                          radplanes=getattr(s.problem, "radplanes", ()))
+rng = np.random.default_rng(0)
+shp = s.grid.padded_shape()
+s0 = jnp.asarray(np.abs(rng.normal(size=shp)) * 1e-4 + 1e-5, jnp.float32)
+inflow = jnp.float32(1.37)
+t_ser, (ph1, fl1) = timeit(
+    jax.jit(lambda a, b: get_ph_rate_plane(a, b, -1, s.grid, ion)),
+    s0, inflow)
+xmesh = make_mesh(8, shape=(1, 2, 4))
+fd = jax.jit(lambda a, b: get_ph_rate_plane_dist(a, b, -1, s.grid, ion,
+                                                 xmesh))
+t_dist, (ph8, el8, ex8) = timeit(fd, s0, inflow)
+out["rad_scan_serial_s"] = t_ser
+out["rad_scan_dist8_s"] = t_dist
+out["rad_scan_bitwise_equal"] = bool(
+    (np.asarray(ph1) == np.asarray(ph8)).all())
+out["collectives_rad_scan"] = collective_counts(
+    fd.lower(s0, inflow).compile())
+
+# --- explicit-halo overlapped step + overlap % --------------------------
+from atmospheric_athena_tpu.parallel.overlap import hydro_step_sharded
+from atmospheric_athena_tpu.parallel.halo import exchange
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map as _shard_map
+from jax.sharding import PartitionSpec as P
+
+hmesh = make_mesh(8, shape=(2, 2, 2))
+dt = jnp.float32(1e-4)
+fh = jax.jit(lambda st: hydro_step_sharded(st, dt, s.sim, s.grid, hmesh))
+th, outh = timeit(fh, s.state)
+out["halo_step_s"] = th
+out["collectives_halo_step"] = collective_counts(
+    fh.lower(s.state).compile())
+
+# exchange-only: the ppermute halo refresh alone
+ng = s.grid.nghost
+
+
+def _exch_only(U):
+    def body(U_loc):
+        pad = [(0, 0), (ng, ng), (ng, ng), (ng, ng)]
+        Up = exchange(jnp.pad(U_loc, pad), hmesh, ng)
+        return Up[:, ng:-ng, ng:-ng, ng:-ng]
+    spec = P(None, "z", "y", "x")
+    return _shard_map(body, mesh=hmesh, in_specs=(spec,),
+                      out_specs=spec)(U)
+
+
+t_exch, _ = timeit(jax.jit(_exch_only), s.state.U)
+out["halo_exchange_only_s"] = t_exch
+
+# compute-only: the same local CTU step with the exchange removed
+import dataclasses
+
+from atmospheric_athena_tpu.integrators import ctu3d
+from atmospheric_athena_tpu.parallel.overlap import _local_grid
+from atmospheric_athena_tpu.state import State
+
+lgrid = _local_grid(s.grid, hmesh)
+
+
+def _compute_only(U):
+    def body(U_loc):
+        pad = [(0, 0), (ng, ng), (ng, ng), (ng, ng)]
+        Up = jnp.pad(U_loc, pad)
+        lstate = State(U=Up, time=s.state.time, dt=dt, nstep=s.state.nstep)
+        o = ctu3d.step(lstate, dt, s.sim, lgrid, problem=None)
+        return o.U[:, ng:-ng, ng:-ng, ng:-ng]
+    spec = P(None, "z", "y", "x")
+    return _shard_map(body, mesh=hmesh, in_specs=(spec,),
+                      out_specs=spec)(U)
+
+
+t_comp, _ = timeit(jax.jit(_compute_only), s.state.U)
+out["halo_compute_only_s"] = t_comp
+out["halo_overlap_pct"] = max(0.0, min(100.0,
+                              100.0 * (t_exch + t_comp - th) / t_exch))
+
+print(json.dumps(out, indent=1))
+rnd = os.environ.get("MC_ROUND", "r04")
+with open(os.path.join(here, f"MULTICHIP_MEASURE_{rnd}.json"), "w") as f:
+    json.dump(out, f, indent=1)
