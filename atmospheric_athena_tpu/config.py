@@ -126,6 +126,10 @@ BC_OUTFLOW = 2
 BC_PERIODIC = 4
 BC_CONDUCTOR = 5
 BC_USER = 0          # problem enrolls a function (bvals_mhd_fun)
+# flag 3 has NO case in bvals_mhd.c's switch — decks using it (the
+# tst/cylindrical suite) always enroll do_nothing_bc in the problem
+# generator, so the ghosts keep their problem-initialized values
+BC_DONOTHING = 3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +149,9 @@ class GridConfig:
     bc: Tuple[Tuple[int, int], Tuple[int, int], Tuple[int, int]] = (
         (BC_PERIODIC, BC_PERIODIC),) * 3
     nghost: int = defs.NGHOST
+    # coordinate system (--with-coord=, configure.ac:185-197):
+    # x1 = R, x2 = phi, x3 = z in "cylindrical"
+    coord: str = "cartesian"
 
     @property
     def ndim(self) -> int:
@@ -195,6 +202,26 @@ class GridConfig:
         n = self.padded_shape()[2 - axis]
         i = np.arange(n + 1)
         return self.xmin[axis] + (i - self.lo(axis)) * self.dx[axis]
+
+    # -- cylindrical-coordinate helpers (src/cc_pos.c:36-65) ----------------
+
+    @property
+    def cylindrical(self) -> bool:
+        return self.coord == "cylindrical"
+
+    def r_coords(self):
+        """Cell-center radii r over the padded x1 axis (pG->r)."""
+        return self.cc_coords(0)
+
+    def ri_coords(self):
+        """Left-face radii ri over the padded x1 axis + 1 (pG->ri)."""
+        return self.fc_coords(0)
+
+    def x1vc_coords(self):
+        """Volume-centered radius x1vc(i) = x1cc + dx1^2/(12 x1cc)
+        (src/cc_pos.c:61-65)."""
+        cc = self.cc_coords(0)
+        return cc + self.dx[0] ** 2 / (12.0 * cc)
 
 
 def sim_config_from_par(par: ParameterDB, **overrides) -> SimConfig:

@@ -159,7 +159,7 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     Ulc, Urc = {}, {}
     etaP = {}
     if use_pallas_mid:
-        G = (pallas_ctu_mid.gcross(U, phic, phif, Fp, q, axes)
+        G = (pallas_ctu_mid.gcross_pl(U, phic, phif, Fp, q, axes, grid)
              if phic is not None else None)
         for a in axes:
             Ulc[a], Urc[a], etaP[a] = pallas_ctu_mid.transverse_correct(
@@ -211,8 +211,9 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
                     Ulc[a] = Ulc[a].at[IEN].add(-_shf(dE, -1, a))
 
     # === STEP 8: cell-centered n+1/2 states (needed with gravity) ===========
+    # (in the pallas path dhalf is fused into grav_source_pl below)
     dhalf = None
-    if phic is not None or phi_sg is not None:
+    if (phic is not None or phi_sg is not None) and not use_pallas_mid:
         dhalf = U[ID]
         for a in axes:
             dFID = (dF[a][ID] if dF is not None
@@ -263,8 +264,8 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     # === STEPS 11-12 fused (pallas): gravity source + flux-difference
     # update + interior splice in one kernel
     if use_pallas_mid:
-        Sg = (pallas_ctu_mid.grav_source(Fp2, dhalf, phic, phif, dtodx,
-                                         axes)
+        Sg = (pallas_ctu_mid.grav_source_pl(U, Fp, Fp2, phic, phif, q,
+                                            dtodx, axes, grid)
               if phic is not None else None)
         Uout = pallas_ctu_mid.final_update(U, Fp2, Sg, dtodx, sim, grid,
                                            axes)

@@ -42,10 +42,14 @@ def lya_cool_rate(n_H, n_e, T):
 
 
 def species(d, s0, ion: IonConfig):
-    """(n_H, n_Hplus, n_e, x) from density and neutral density."""
-    n_H = s0 / ion.m_H
-    n_Hplus = (d - s0) / ion.m_H
-    n_e = n_Hplus + d * ion.alpha_C / (14.0 * ion.m_H)
+    """(n_H, n_Hplus, n_e, x) from density and neutral density.
+
+    The 1/m_H constants are host-side reciprocals (one VPU multiply
+    instead of a divide per field; equal to the divide to roundoff)."""
+    inv_mH = 1.0 / ion.m_H
+    n_H = s0 * inv_mH
+    n_Hplus = (d - s0) * inv_mH
+    n_e = n_Hplus + d * (ion.alpha_C / (14.0 * ion.m_H))
     x = n_e / (n_H + n_Hplus)
     return n_H, n_Hplus, n_e, x
 

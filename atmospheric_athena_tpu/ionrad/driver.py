@@ -41,24 +41,55 @@ class _Carry(NamedTuple):
     eflux: jax.Array
 
 
-def _temp(E, s0, d, ke_be, sim, ion):
-    _, _, _, x = chem.species(d, s0, ion)
+class _CarryF(NamedTuple):
+    """Carry of the fused-kernel sub-cycle (pallas path): the chemistry
+    rate fields of the NEXT iteration ride the carry, so each loop body
+    is one kernel (update_k + rates_{k+1}); ef_prev holds the eflux of
+    the last COMPLETED iteration (the reference's final EdgeFlux)."""
+    E: jax.Array
+    s0: jax.Array
+    code: jax.Array
+    kph: jax.Array
+    nHdot: jax.Array
+    edot: jax.Array
+    dtc: jax.Array
+    dtt: jax.Array
+    ef_prev: tuple
+    ef_cur: tuple
+    dt_done: jax.Array
+    dt_new: jax.Array
+    niter: jax.Array
+    stop: jax.Array
+
+
+def _temp(E, s0, d, ke_be, sim, ion, di=None):
+    """T, e_th, x — with one shared reciprocal di = 1/d feeding both the
+    ionization fraction (x = n_e/(n_H+n_Hplus) with n_H+n_Hplus = d/m_H)
+    and the specific energy (the divides dominate the fused sub-cycle
+    kernels' VPU time; equal to the naive form to roundoff)."""
+    if di is None:
+        di = 1.0 / d
+    n_Hplus = (d - s0) * (1.0 / ion.m_H)
+    n_e = n_Hplus + d * (ion.alpha_C / (14.0 * ion.m_H))
+    x = n_e * (ion.m_H * di)
     e_th = E - ke_be
-    e_sp = e_th / d
+    e_sp = e_th * di
     T = chem.temperature(e_sp, x, sim.gamma_1, ion)
     return T, e_th, x
 
 
-def _apply_floors(E, s0, d, ke_be, sim: SimConfig, ion: IonConfig):
+def _apply_floors(E, s0, d, ke_be, sim: SimConfig, ion: IonConfig,
+                  di=None):
     """apply_temp_floor (ionrad_3d.c:70-136) then apply_neutral_floor
     (:140-157), in the driver's order (:896-900)."""
-    T, _, x = _temp(E, s0, d, ke_be, sim, ion)
+    T, _, x = _temp(E, s0, d, ke_be, sim, ion, di=di)
     mm = chem.mean_mass(x, ion)
-    e_sp_fl = ion.tfloor * ion.k_B / (mm * sim.gamma_1)
-    E = jnp.where(T < ion.tfloor, ke_be + e_sp_fl * d, E)
+    inv_mmg1 = 1.0 / (mm * sim.gamma_1)
+    E = jnp.where(T < ion.tfloor,
+                  ke_be + (ion.tfloor * ion.k_B) * inv_mmg1 * d, E)
     if ion.tceil > 0:
-        e_sp_cl = ion.tceil * ion.k_B / (mm * sim.gamma_1)
-        E = jnp.where(T > ion.tceil, ke_be + e_sp_cl * d, E)
+        E = jnp.where(T > ion.tceil,
+                      ke_be + (ion.tceil * ion.k_B) * inv_mmg1 * d, E)
 
     d_nlim = jnp.minimum(d * IONFRACFLOOR, ion.d_nlo)
     s0 = jnp.where(s0 < d_nlim, d_nlim, jnp.minimum(s0, d))
@@ -86,11 +117,23 @@ def rates_percell(s0, E, d, ke_be, last_sign, sign_count, ph_rate, d_nlim,
 
     Returns (nHdot, new_sign, new_count, dt_chem_cell, edot, dt_therm_cell).
     """
-    n_H, n_Hplus, n_e, x = chem.species(d, s0, ion)
-    e_sp = (E - ke_be) / d
+    di = 1.0 / d
+    n_H = s0 * (1.0 / ion.m_H)
+    n_Hplus = (d - s0) * (1.0 / ion.m_H)
+    n_e = n_Hplus + d * (ion.alpha_C / (14.0 * ion.m_H))
+    x = n_e * (ion.m_H * di)       # n_H + n_Hplus = d/m_H
+    e_sp = (E - ke_be) * di
     T = chem.temperature(e_sp, x, sim.gamma_1, ion)
-    Tc = jnp.maximum(T, ion.tfloor)
-    nHdot = (chem.recomb_rate_coef(Tc) * ion.time_unit * n_e * n_Hplus
+    # shared-log power laws: alpha_B(Tc) and the recombination-cooling
+    # coefficient are both pure powers of T, so one log(T) feeds both
+    # exp()s (the VPU transcendental unit is this kernel's bottleneck;
+    # equal to the naive pow() to roundoff).  Tc = max(T, tfloor) gives
+    # log(Tc) = max(log T, log tfloor) by monotonicity.
+    import math
+    lnT = jnp.log(T)
+    lnTc = jnp.maximum(lnT, math.log(ion.tfloor))
+    alpha_B = 2.59e-13 * jnp.exp(-0.7 * (lnTc - math.log(1.0e4)))
+    nHdot = (alpha_B * ion.time_unit * n_e * n_Hplus
              - ph_rate * n_H)
 
     # oscillation bookkeeping (:341-353); neg/pos are exclusive so the
@@ -106,15 +149,24 @@ def rates_percell(s0, E, d, ke_be, last_sign, sign_count, ph_rate, d_nlim,
         0)
     new_sign = jnp.where(neg, -1, jnp.where(pos, 1, 0)).astype(
         last_sign.dtype)
-    # damping: nHdot *= DAMPFACTOR^(sign_count - MAXSIGNCOUNT) (:360-363)
-    ndamp = jnp.maximum(new_count - MAXSIGNCOUNT, 0)
-    nHdot = nHdot * DAMPFACTOR ** ndamp.astype(nHdot.dtype)
+    # damping: nHdot *= DAMPFACTOR^(sign_count - MAXSIGNCOUNT) (:360-363).
+    # DAMPFACTOR = 0.5, so the power is an exact 2^-n — evaluate by
+    # 8-bit square-and-multiply (6 selects+muls, no transcendental; every
+    # partial product is an exact power of two, so this equals pow()).
+    ndamp = jnp.minimum(jnp.maximum(new_count - MAXSIGNCOUNT, 0), 255)
+    damp = jnp.ones_like(nHdot)
+    for k in range(8):
+        damp = damp * jnp.where((ndamp >> k) & 1 == 1,
+                                nHdot.dtype.type(DAMPFACTOR ** (2 ** k)),
+                                nHdot.dtype.type(1.0))
+    nHdot = nHdot * damp
 
     mx = ion.max_dx_iter
-    dt1_pos = mx / (1 + mx) * n_e / nHdot
-    dt2_pos = mx * n_H / nHdot
-    dt1_neg = -mx * n_e / nHdot
-    dt2_neg = -mx / (1 + mx) * n_H / nHdot
+    inv_nHdot = 1.0 / nHdot          # one divide feeds all four limits
+    dt1_pos = mx / (1 + mx) * n_e * inv_nHdot
+    dt2_pos = mx * n_H * inv_nHdot
+    dt1_neg = -mx * n_e * inv_nHdot
+    dt2_neg = -mx / (1 + mx) * n_H * inv_nHdot
     above_floor = s0 > 1.0001 * d_nlim
     big = jnp.finfo(s0.dtype).max  # LARGE ~ DBL_MAX (ionrad.h:16)
     dt_chem_cell = jnp.where(
@@ -124,24 +176,29 @@ def rates_percell(s0, E, d, ke_be, last_sign, sign_count, ph_rate, d_nlim,
 
     # --- therm (compute_therm_rates, :414-562) ---
     e_thermal = E - ke_be
+    # recomb_cool_rate_coef·k_B·T = 6.11e-10·k_B·T^0.11 (power law →
+    # shared lnT); lya = -7.5e-19·n_e·n_H·exp(-118348/T)
+    crec = jnp.where(T < 100.0, 0.0,
+                     (6.11e-10 * ion.k_B)
+                     * jnp.exp(0.11 * lnT))
+    lya = -7.5e-19 * n_e * n_H * jnp.exp(-118348.0 / T)
     edot = (ph_rate * ion.e_gamma * n_H
-            - chem.recomb_cool_rate_coef(T, ion.k_B) * ion.time_unit
-            * n_Hplus * n_e
-            + chem.lya_cool_rate(n_H, n_e, T) * ion.time_unit)
+            - crec * ion.time_unit * n_Hplus * n_e
+            + lya * ion.time_unit)
     skip = (T < ion.tfloor) | ((nHdot < 0) & (s0 < 1.0001 * d_nlim))
     edot = jnp.where(skip, 0.0, edot)
 
     mde, mdt = ion.max_de_iter, ion.max_de_therm_iter
-    dt_heat = jnp.minimum(mde * E / edot, mdt * e_thermal / edot)
+    inv_edot = 1.0 / edot            # one divide feeds all four limits
+    dt_heat = jnp.minimum(mde * E * inv_edot, mdt * e_thermal * inv_edot)
     # cooling: account for the temperature floor (:503-538)
     mm = chem.mean_mass(x, ion)
-    e_sp_min = ion.tfloor * ion.k_B / (mm * sim.gamma_1)
-    e_th_min = e_sp_min * d
+    e_th_min = (ion.tfloor * ion.k_B / sim.gamma_1) * d / mm
     e_min = ke_be + e_th_min
-    floor_ok = (e_thermal / (1.0 + mdt) < e_th_min) & \
-               (E / (1.0 + mde) < e_min)
-    dt_cool = jnp.minimum(-mde / (1 + mde) * E / edot,
-                          -mdt / (1 + mdt) * e_thermal / edot)
+    floor_ok = (e_thermal < (1.0 + mdt) * e_th_min) & \
+               (E < (1.0 + mde) * e_min)
+    dt_cool = jnp.minimum(-mde / (1 + mde) * E * inv_edot,
+                          -mdt / (1 + mdt) * e_thermal * inv_edot)
     dt_therm_cell = jnp.where(
         edot == 0.0, big,
         jnp.where(edot > 0.0, dt_heat,
@@ -151,31 +208,32 @@ def rates_percell(s0, E, d, ke_be, last_sign, sign_count, ph_rate, d_nlim,
 
 def update_percell(s0, E, d, ke_be, nHdot, edot, ph_rate, dt, d_nlim,
                    e_init, e_th_init, x_init, sim: SimConfig,
-                   ion: IonConfig):
+                   ion: IonConfig, di=None):
     """ionization_update (:565-590) + floors + check_range violation flags
     (:977-1002, :222-224).  Returns (E_new, s0_new, viol_cell) with
     viol_cell ∈ {0,1} as the state dtype (exact for any realistic count)."""
+    if di is None:
+        di = 1.0 / d
     upd = (nHdot > 0) | (s0 > 1.0001 * d_nlim)
     E2 = E + jnp.where(upd, edot * dt, 0.0)
     s02 = s0 + jnp.where(upd, nHdot * dt * ion.m_H, 0.0)
-    E2, s02 = _apply_floors(E2, s02, d, ke_be, sim, ion)
+    E2, s02 = _apply_floors(E2, s02, d, ke_be, sim, ion, di=di)
 
-    _, e_th, x = _temp(E2, s02, d, ke_be, sim, ion)
-    n_H = s02 / ion.m_H
-    dtype_skip = ph_rate / (ion.min_area * n_H) > 2.0 * CION
+    _, e_th, x = _temp(E2, s02, d, ke_be, sim, ion, di=di)
+    n_H = s02 * (1.0 / ion.m_H)
+    # ratio tests as multiply-compares (all quantities positive): one
+    # divide fewer per test pair; r >= c  <=>  num >= c*den for den > 0
+    dtype_skip = ph_rate > (2.0 * CION) * (ion.min_area * n_H)
     viol = jnp.zeros_like(dtype_skip)
     if ion.max_de_therm_step > 0:
-        r = e_th / e_th_init
-        viol = viol | (r >= 1 + ion.max_de_therm_step) | \
-            (1.0 / r >= 1 + ion.max_de_therm_step)
+        c = 1 + ion.max_de_therm_step
+        viol = viol | (e_th >= c * e_th_init) | (e_th_init >= c * e_th)
     if ion.max_de_step > 0:
-        r = E2 / e_init
-        viol = viol | (r >= 1 + ion.max_de_step) | \
-            (1.0 / r >= 1 + ion.max_de_step)
+        c = 1 + ion.max_de_step
+        viol = viol | (E2 >= c * e_init) | (e_init >= c * E2)
     if ion.max_dx_step > 0:
-        r = x / x_init
-        viol = viol | (r >= 1 + ion.max_dx_step) | \
-            (1.0 / r >= 1 + ion.max_dx_step)
+        c = 1 + ion.max_dx_step
+        viol = viol | (x >= c * x_init) | (x_init >= c * x)
     viol_cell = (viol & ~dtype_skip).astype(E.dtype)
     return E2, s02, viol_cell
 
@@ -309,8 +367,43 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
     from . import pallas_rad
     use_pallas = ((not sim.mhd) and not dist
                   and pallas_rad.supported(sim, grid, ion))
+
+    def _finish(out, ef_pair):
+        """Common tail: dt feedback, state assembly, eflux reassembly."""
+        # maxiter exit without a stop condition: dt = dt_done
+        # (ionrad_3d.c:1022)
+        if tcoarse is None:
+            dt_new = jnp.where(out.stop, out.dt_new, out.dt_done)
+        else:
+            dt_new = dt0   # fine levels never feed back into the mesh dt
+        Unew = state.U.at[(iscal,) + sl].set(out.s0)
+        if sim.adiabatic:
+            Unew = Unew.at[(IEN,) + sl].set(out.E)
+        if ef_pair is not None:
+            # reassemble the legacy (Nx+1)-face array once, post-loop
+            eflux_out = jnp.concatenate([ef_pair[0],
+                                         ef_pair[1][..., -1:]], axis=-1)
+        else:
+            eflux_out = out.eflux
+        new_state = state.replace(U=Unew, Eflux=eflux_out, dt=dt_new)
+        if return_niter:
+            return new_state, dt_new, out.niter
+        return new_state, dt_new
+
+    def _cap_cond(cond, init):
+        if niter_cap is None:
+            return cond
+        # bounded chunk (the axon tunnel kills single executions that
+        # run for minutes; the phased SMR driver loops chunks on host)
+        base = init.niter
+        return lambda c: cond(c) & (c.niter < base + niter_cap)
+
     if use_pallas:
-        rates_fn, update_fn = pallas_rad.build(
+        # Two kernels per iteration (rates, then update) — measured
+        # FASTER than the monolithic update+rates fusion on v5e (the
+        # split kernels pipeline input prefetch against compute better);
+        # the fused variant remains in pallas_rad for reference.
+        rates_fn, update_fn, _fused = pallas_rad.build(
             sim, grid, ion, d, ke_be, M1, M2, M3, e_init, e_th_init,
             x_init, d_nlim, inlet=inlet)
         if inlet is not None:
@@ -320,19 +413,65 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
         else:
             Fin0 = jnp.asarray(flux_i, d.dtype)
 
-    def body(c: _Carry):
-        if use_pallas:
+        def bodyP(c: _Carry):
             # last_sign carries the PACKED (sign, count) int32 code
             (lsn, eflux, kph, nHdot, edot, dt_chem,
              dt_therm) = rates_fn(c.s0, c.E, c.last_sign, Fin0)
-            scn = c.sign_count
+            dt = jnp.minimum(dt_chem, dt_therm)
+            # clip to the hydro step, or to the root level's tcoarse in
+            # SMR fine-level mode (ionrad_3d.c:950-962)
+            dt_limit = dt0 if tcoarse is None else tcoarse
+            hydro_done = c.dt_done + dt > dt_limit
+            dt = jnp.where(hydro_done, dt_limit - c.dt_done, dt)
+            E, s0, cellcount, dti_max = update_fn(c.s0, c.E, kph, nHdot,
+                                                  edot, dt)
+            dt_done = c.dt_done + dt
+            range_hit = cellcount > MAXCELLCOUNT
+            dt_h = cour_no / dti_max
+            cfl_hit = dt_h < dt_done
+            if tcoarse is None:
+                stop = range_hit | hydro_done | cfl_hit
+                dt_new = jnp.where(range_hit, dt_done,
+                                   jnp.where(hydro_done, c.dt_new,
+                                             jnp.where(cfl_hit, dt_done,
+                                                       c.dt_new)))
+            else:
+                # fine level: integrate to tcoarse; no dt feedback
+                stop = hydro_done
+                dt_new = c.dt_new
+            return _Carry(E, s0, lsn, c.sign_count, dt_done, dt_new,
+                          c.niter + 1, stop, eflux)
+
+        def condP(c: _Carry):
+            return (~c.stop) & (c.niter < ion.maxiter)
+
+        if carry is not None:
+            init = carry
         else:
-            kph, eflux = ph_rate_all(c.s0)
-            nHdot, lsn, scn, dtc_cell, edot, dtt_cell = rates_percell(
-                c.s0, c.E, d, ke_be, c.last_sign, c.sign_count, kph,
-                d_nlim, sim, ion)
-            dt_chem = jnp.min(dtc_cell)
-            dt_therm = jnp.min(dtt_cell)
+            init = _Carry(
+                E=E0, s0=s00,
+                # ONE packed (sign, count) code array (pack(0,0)=1) and
+                # a dummy scalar in sign_count's slot
+                last_sign=jnp.ones(d.shape, jnp.int32),
+                sign_count=jnp.zeros((), jnp.int32),
+                dt_done=jnp.zeros((), d.dtype),
+                dt_new=dt0,
+                niter=jnp.zeros((), jnp.int32),
+                stop=jnp.zeros((), bool),
+                eflux=(jnp.zeros(d.shape, d.dtype),
+                       jnp.zeros(d.shape[:2] + (1,), d.dtype)))
+        out = jax.lax.while_loop(_cap_cond(condP, init), bodyP, init)
+        if return_carry:
+            return out
+        return _finish(out, out.eflux)
+
+    def body(c: _Carry):
+        kph, eflux = ph_rate_all(c.s0)
+        nHdot, lsn, scn, dtc_cell, edot, dtt_cell = rates_percell(
+            c.s0, c.E, d, ke_be, c.last_sign, c.sign_count, kph,
+            d_nlim, sim, ion)
+        dt_chem = jnp.min(dtc_cell)
+        dt_therm = jnp.min(dtt_cell)
         dt = jnp.minimum(dt_chem, dt_therm)
 
         # clip to the hydro step, or to the root level's tcoarse in SMR
@@ -342,16 +481,12 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
         dt = jnp.where(hydro_done, dt_limit - c.dt_done, dt)
 
         # explicit update + floors + stopping criteria (:565-590, :977-1002)
-        if use_pallas:
-            E, s0, cellcount, dti_max = update_fn(c.s0, c.E, kph, nHdot,
-                                                  edot, dt)
-        else:
-            E, s0, viol_cell = update_percell(
-                c.s0, c.E, d, ke_be, nHdot, edot, kph, dt, d_nlim,
-                e_init, e_th_init, x_init, sim, ion)
-            cellcount = jnp.sum(viol_cell)
-            dti_max = jnp.max(dti_percell(None, E, d, M1, M2, M3, sim,
-                                          grid, Bsl, Bfi))
+        E, s0, viol_cell = update_percell(
+            c.s0, c.E, d, ke_be, nHdot, edot, kph, dt, d_nlim,
+            e_init, e_th_init, x_init, sim, ion)
+        cellcount = jnp.sum(viol_cell)
+        dti_max = jnp.max(dti_percell(None, E, d, M1, M2, M3, sim,
+                                      grid, Bsl, Bfi))
         dt_done = c.dt_done + dt
         range_hit = cellcount > MAXCELLCOUNT
 
@@ -384,12 +519,8 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
         eflux0 = jnp.zeros(efshape, d.dtype)
     init = _Carry(
         E=E0, s0=s00,
-        # pallas path: ONE packed (sign, count) code array (pack(0,0)=1)
-        # and a dummy scalar; jnp path: the two separate fields
-        last_sign=(jnp.ones(d.shape, jnp.int32) if use_pallas
-                   else jnp.zeros(d.shape, jnp.int32)),
-        sign_count=(jnp.zeros((), jnp.int32) if use_pallas
-                    else jnp.zeros(d.shape, jnp.int32)),
+        last_sign=jnp.zeros(d.shape, jnp.int32),
+        sign_count=jnp.zeros(d.shape, jnp.int32),
         dt_done=jnp.zeros((), d.dtype),
         dt_new=dt0,
         niter=jnp.zeros((), jnp.int32),
@@ -397,34 +528,8 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
         eflux=eflux0)
     if carry is not None:
         init = carry
-    if niter_cap is not None:
-        # bounded chunk (the axon tunnel kills single executions that
-        # run for minutes; the phased SMR driver loops chunks on host)
-        base = init.niter
-        orig_cond = cond
 
-        def cond(c: _Carry):
-            return orig_cond(c) & (c.niter < base + niter_cap)
-
-    out = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(_cap_cond(cond, init), body, init)
     if return_carry:
         return out
-
-    # maxiter exit without a stop condition: dt = dt_done (ionrad_3d.c:1022)
-    if tcoarse is None:
-        dt_new = jnp.where(out.stop, out.dt_new, out.dt_done)
-    else:
-        dt_new = dt0   # fine levels never feed back into the mesh dt
-
-    Unew = state.U.at[(iscal,) + sl].set(out.s0)
-    if sim.adiabatic:
-        Unew = Unew.at[(IEN,) + sl].set(out.E)
-    eflux_out = out.eflux
-    if dist:
-        # reassemble the legacy (Nx+1)-face array once, outside the loop
-        eflux_out = jnp.concatenate([out.eflux[0],
-                                     out.eflux[1][..., -1:]], axis=-1)
-    new_state = state.replace(U=Unew, Eflux=eflux_out, dt=dt_new)
-    if return_niter:
-        return new_state, dt_new, out.niter
-    return new_state, dt_new
+    return _finish(out, out.eflux if dist else None)

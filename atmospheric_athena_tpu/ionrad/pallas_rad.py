@@ -81,39 +81,39 @@ def supported(sim: SimConfig, grid: GridConfig, ion: IonConfig) -> bool:
             and grid.Nx[1] % 8 == 0 and _by(grid.Nx[1]) > 0)
 
 
-def _cumprod_lanes(x):
-    """Cumulative product along the last axis via a Hillis-Steele log-step
-    scan (Mosaic has no cumprod primitive).  Reassociates the product —
-    differs from the sequential scan by O(n·eps) relative rounding, well
-    inside the algorithm's tolerance (the attenuation is already a chain
-    of rounded exponentials)."""
-    n = x.shape[-1]
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    k = 1
-    while k < n:
-        shifted = jnp.roll(x, k, axis=-1)
-        x = x * jnp.where(idx >= k, shifted, jnp.ones_like(x))
-        k *= 2
-    return x
-
-
 def _sweep_x(s0, Fin, dx1, cell_len, ion: IonConfig):
     """dir=-1 plane sweep on a (by, NX) block — the axis-0 ascending case of
-    plane.get_ph_rate_plane, with the cumulative product in VMEM."""
-    n_H = s0 / ion.m_H
+    plane.get_ph_rate_plane, with the attenuation accumulated in the log
+    domain: T_incl = exp(-cumsum(tau)), the cumulative sum evaluated as a
+    triangular matmul on the MXU at HIGHEST (6-pass f32) precision.  Like
+    the jnp path's cumprod this reassociates the per-cell attenuation —
+    O(n·eps·tau) relative rounding, inside the algorithm's tolerance.
+
+    Returns (kph [by,n], eflux_body [by,n] = faces 0..n-1,
+    eflux_exit [by,1] = face n) — split so both HBM writes stay
+    lane-aligned (the legacy (n+1)-face array is reassembled once after
+    the sub-cycle loop, not every iteration)."""
+    n_H = s0 * (1.0 / ion.m_H)
     tau = ion.sigma_ph * n_H * dx1
     etau = jnp.exp(-tau)
-    T_incl = _cumprod_lanes(etau)
+    n = s0.shape[-1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    TRI = (r <= c).astype(tau.dtype)
+    ctau = jax.lax.dot_general(
+        tau, TRI, (((tau.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=tau.dtype)
+    T_incl = jnp.exp(-ctau)
     ones = jnp.ones_like(T_incl[..., :1])
     T_faces = jnp.concatenate([ones, T_incl], axis=-1)
     F_faces = Fin * T_faces
     frac = F_faces / (Fin + 1e-12)
-    n = s0.shape[-1]
     idx = jax.lax.broadcasted_iota(jnp.int32, frac.shape, frac.ndim - 1)
     alive = (idx == 0) | (frac >= MINFLUXFRAC)
     kph = alive[..., :n] * F_faces[..., :n] * (1.0 - etau) / (n_H * cell_len)
     eflux = jnp.where(alive, F_faces, 0.0)
-    return kph, eflux
+    return kph, eflux[..., :n], eflux[..., n:]
 
 
 def _unpack(code):
@@ -139,10 +139,10 @@ def _rates_core(s0, E, code, d, Msq, Fin, sim, ion, dx1):
     from . import driver
     ke_be, d_nlim = _aux(d, Msq, sim, ion)
     lsn, scn = _unpack(code)
-    kph, eflux = _sweep_x(s0, Fin, dx1, dx1, ion)
+    kph, efb, efx = _sweep_x(s0, Fin, dx1, dx1, ion)
     nHdot, nsn, ncn, dtc_cell, edot, dtt_cell = driver.rates_percell(
         s0, E, d, ke_be, lsn, scn, kph, d_nlim, sim, ion)
-    return kph, eflux, nHdot, edot, nsn, ncn, dtc_cell, dtt_cell
+    return kph, efb, efx, nHdot, edot, nsn, ncn, dtc_cell, dtt_cell
 
 
 def _rates_kernel(scal_ref, s0_ref, E_ref, code_ref, d_ref, Msq_ref,
@@ -154,19 +154,84 @@ def _rates_kernel(scal_ref, s0_ref, E_ref, code_ref, d_ref, Msq_ref,
         Fin = inlet_ref[...][0][..., :1]   # (by, 1) per-column inlet
     else:
         Fin = scal_ref[0, 0]
-    (ncode_ref, eflux_ref, kph_ref, nHdot_ref, edot_ref,
+    (ncode_ref, efb_ref, efx_ref, kph_ref, nHdot_ref, edot_ref,
      dtc_ref, dtt_ref) = refs
-    (kph, eflux, nHdot, edot, nsn, ncn, dtc_cell,
+    (kph, efb, efx, nHdot, edot, nsn, ncn, dtc_cell,
      dtt_cell) = _rates_core(s0_ref[...][0], E_ref[...][0],
                              code_ref[...][0], d_ref[...][0],
                              Msq_ref[...][0], Fin, sim, ion, dx1)
     ncode_ref[...] = _pack(nsn, ncn)[None]
-    eflux_ref[...] = eflux[None]
+    efb_ref[...] = efb[None]
+    efx_ref[...] = efx[None]
     kph_ref[...] = kph[None]
     nHdot_ref[...] = nHdot[None]
     edot_ref[...] = edot[None]
     # per-block partials as broadcast (8,128) tiles — Mosaic's minimum
     # writable block; recombined with exact min/max in the caller
+    dtc_ref[...] = jnp.full(dtc_ref.shape, jnp.min(dtc_cell),
+                            dtc_cell.dtype)
+    dtt_ref[...] = jnp.full(dtt_ref.shape, jnp.min(dtt_cell),
+                            dtt_cell.dtype)
+
+
+def _fused_kernel(scal_ref, s0_ref, E_ref, code_ref, kph_ref, nHdot_ref,
+                  edot_ref, d_ref, Msq_ref, Mmax_ref, ei_ref, xi_ref,
+                  *refs, sim: SimConfig, ion: IonConfig, dx1,
+                  with_inlet: bool):
+    """update_k + rates_{k+1} in ONE pass: the sub-cycle state (E, s0) is
+    read and written exactly once per iteration, and the next iteration's
+    chemistry runs on the still-in-VMEM updated state.  The operation
+    sequence across the whole sub-cycle is identical to the two-kernel
+    formulation (rates_0; update_0; rates_1; ...) — only kernel
+    boundaries move.  The trailing rates evaluation of the final
+    iteration is unused (the loop exits on the update's stop flags)."""
+    from . import driver
+    if with_inlet:
+        inlet_ref = refs[0]
+        refs = refs[1:]
+        Fin = inlet_ref[...][0][..., :1]
+    else:
+        Fin = scal_ref[0, 1]
+    (E2_ref, s02_ref, ncode_ref, kph2_ref, nH2_ref, ed2_ref,
+     efb_ref, efx_ref, viol_ref, dti_ref, dtc_ref, dtt_ref) = refs
+    dt = scal_ref[0, 0]
+    s0 = s0_ref[...][0]
+    E = E_ref[...][0]
+    d = d_ref[...][0]
+    Msq = Msq_ref[...][0]
+    ke_be, d_nlim = _aux(d, Msq, sim, ion)
+    ei = ei_ref[...][0]
+    ethi = ei - ke_be
+    di = 1.0 / d
+    E2, s02, viol = driver.update_percell(
+        s0, E, d, ke_be, nHdot_ref[...][0], edot_ref[...][0],
+        kph_ref[...][0], dt, d_nlim, ei, ethi, xi_ref[...][0], sim, ion,
+        di=di)
+
+    qsq = Msq * di * di
+    if sim.adiabatic:
+        p = jnp.maximum(sim.gamma_1 * (E2 - 0.5 * d * qsq), TINY_NUMBER)
+        asq = sim.gamma * p * di
+    else:
+        asq = jnp.full_like(E2, sim.iso_csound ** 2)
+    dti = (Mmax_ref[...][0] * di + jnp.sqrt(asq)) / dx1
+
+    # rates for the NEXT iteration, on the updated in-VMEM state
+    lsn, scn = _unpack(code_ref[...][0])
+    kph2, efb, efx = _sweep_x(s02, Fin, dx1, dx1, ion)
+    nH2, nsn, ncn, dtc_cell, ed2, dtt_cell = driver.rates_percell(
+        s02, E2, d, ke_be, lsn, scn, kph2, d_nlim, sim, ion)
+
+    E2_ref[...] = E2[None]
+    s02_ref[...] = s02[None]
+    ncode_ref[...] = _pack(nsn, ncn)[None]
+    kph2_ref[...] = kph2[None]
+    nH2_ref[...] = nH2[None]
+    ed2_ref[...] = ed2[None]
+    efb_ref[...] = efb[None]
+    efx_ref[...] = efx[None]
+    viol_ref[...] = jnp.full(viol_ref.shape, jnp.sum(viol), viol.dtype)
+    dti_ref[...] = jnp.full(dti_ref.shape, jnp.max(dti), dti.dtype)
     dtc_ref[...] = jnp.full(dtc_ref.shape, jnp.min(dtc_cell),
                             dtc_cell.dtype)
     dtt_ref[...] = jnp.full(dtt_ref.shape, jnp.min(dtt_cell),
@@ -186,13 +251,14 @@ def _update_kernel(scal_ref, s0_ref, E_ref, d_ref, Msq_ref, Mmax_ref,
     ke_be, d_nlim = _aux(d, Msq, sim, ion)
     ei = ei_ref[...][0]
     ethi = ei - ke_be   # bitwise: driver._temp's e_th = E0_floored - ke_be
+    di = 1.0 / d        # one reciprocal shared by floors/viol/CFL
     E2, s02, viol = driver.update_percell(
         s0, E, d, ke_be, nHdot_ref[...][0], edot_ref[...][0],
-        kph_ref[...][0], dt, d_nlim, ei, ethi, xi_ref[...][0], sim, ion)
+        kph_ref[...][0], dt, d_nlim, ei, ethi, xi_ref[...][0], sim, ion,
+        di=di)
 
     # compute_dt_hydro with precomputed max_a|M_a| / M^2: bitwise equal to
     # dti_percell for equal dx (driver docstring / module docstring)
-    di = 1.0 / d
     qsq = Msq * di * di
     if sim.adiabatic:
         p = jnp.maximum(sim.gamma_1 * (E2 - 0.5 * d * qsq), TINY_NUMBER)
@@ -232,12 +298,12 @@ def build(sim: SimConfig, grid: GridConfig, ion: IonConfig, d, ke_be,
     blk = (1, by, NX)
     imap = lambda i, j: (i, j, 0)
     fld = pl.BlockSpec(blk, imap)
-    efl = pl.BlockSpec((1, by, NX + 1), imap)
+    efx_spec = pl.BlockSpec((1, by, 1), imap)
     part = pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0))
     pshape = jax.ShapeDtypeStruct(grid_dims + (8, 128), dt_f)
     fshape = jax.ShapeDtypeStruct((NZ, NY, NX), dt_f)
     ishape = jax.ShapeDtypeStruct((NZ, NY, NX), jnp.int32)
-    eshape = jax.ShapeDtypeStruct((NZ, NY, NX + 1), dt_f)
+    exshape = jax.ShapeDtypeStruct((NZ, NY, 1), dt_f)
 
     def smem(n):
         return pl.BlockSpec((1, n), lambda i, j: (0, 0),
@@ -258,9 +324,9 @@ def build(sim: SimConfig, grid: GridConfig, ion: IonConfig, d, ke_be,
                           with_inlet=with_inlet),
         grid=grid_dims,
         in_specs=[smem(1)] + [fld] * 5 + inl_spec,
-        out_specs=(fld, efl, fld, fld, fld, part, part),
-        out_shape=(ishape, eshape, fshape, fshape, fshape, pshape,
-                   pshape),
+        out_specs=(fld, fld, efx_spec, fld, fld, fld, part, part),
+        out_shape=(ishape, fshape, exshape, fshape, fshape, fshape,
+                   pshape, pshape),
         interpret=interp,
         compiler_params=_cparams(),
     )
@@ -275,13 +341,26 @@ def build(sim: SimConfig, grid: GridConfig, ion: IonConfig, d, ke_be,
         compiler_params=_cparams(),
     )
 
+    fused_call = pl.pallas_call(
+        functools.partial(_fused_kernel, sim=sim, ion=ion, dx1=dx1,
+                          with_inlet=with_inlet),
+        grid=grid_dims,
+        in_specs=[smem(2)] + [fld] * 11 + inl_spec,
+        out_specs=(fld, fld, fld, fld, fld, fld, fld, efx_spec,
+                   part, part, part, part),
+        out_shape=(fshape, fshape, ishape, fshape, fshape, fshape,
+                   fshape, exshape, pshape, pshape, pshape, pshape),
+        interpret=interp,
+        compiler_params=_cparams(),
+    )
+
     def rates_fn(s0, E, code, Fin):
         extra = (inlet_b,) if with_inlet else ()
-        ncode, eflux, kph, nHdot, edot, dtc_p, dtt_p = rates_call(
+        ncode, efb, efx, kph, nHdot, edot, dtc_p, dtt_p = rates_call(
             jnp.asarray(0.0 if Fin is None else Fin,
                         dt_f).reshape(1, 1),
             s0, E, code, d, Msq, *extra)
-        return (ncode, eflux, kph, nHdot, edot,
+        return (ncode, (efb, efx), kph, nHdot, edot,
                 jnp.min(dtc_p[..., 0, 0]), jnp.min(dtt_p[..., 0, 0]))
 
     def update_fn(s0, E, kph, nHdot, edot, dt):
@@ -291,4 +370,16 @@ def build(sim: SimConfig, grid: GridConfig, ion: IonConfig, d, ke_be,
         return (E2, s02, jnp.sum(viol_p[..., 0, 0]),
                 jnp.max(dti_p[..., 0, 0]))
 
-    return rates_fn, update_fn
+    def fused_fn(s0, E, code, kph, nHdot, edot, dt, Fin):
+        extra = (inlet_b,) if with_inlet else ()
+        scal = jnp.stack(
+            [jnp.asarray(dt, dt_f),
+             jnp.asarray(0.0 if Fin is None else Fin, dt_f)]).reshape(1, 2)
+        (E2, s02, ncode, kph2, nH2, ed2, efb, efx, viol_p, dti_p,
+         dtc_p, dtt_p) = fused_call(scal, s0, E, code, kph, nHdot, edot,
+                                    d, Msq, Mmax, e_init, x_init, *extra)
+        return (E2, s02, ncode, kph2, nH2, ed2, (efb, efx),
+                jnp.sum(viol_p[..., 0, 0]), jnp.max(dti_p[..., 0, 0]),
+                jnp.min(dtc_p[..., 0, 0]), jnp.min(dtt_p[..., 0, 0]))
+
+    return rates_fn, update_fn, fused_fn

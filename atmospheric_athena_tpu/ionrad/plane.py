@@ -58,7 +58,7 @@ def get_ph_rate_plane(s0, inflow, direction: int, grid: GridConfig,
     if not ascending:
         s0s = jnp.flip(s0s, axis=-1)
 
-    n_H = s0s / ion.m_H
+    n_H = s0s * (1.0 / ion.m_H)
     tau = ion.sigma_ph * n_H * grid.dx[0]          # dx1 always (see above)
     etau = jnp.exp(-tau)
     cell_len = grid.dx[axis]
@@ -133,7 +133,7 @@ def get_ph_rate_plane_dist(s0, inflow, direction: int, grid: GridConfig,
 
     def body(s0_blk, Fin):
         idxs = jax.lax.axis_index("x")
-        n_H = s0_blk / ion.m_H
+        n_H = s0_blk * (1.0 / ion.m_H)
         tau = ion.sigma_ph * n_H * grid.dx[0]
         etau = jnp.exp(-tau)
         T_incl = jnp.cumprod(etau, axis=-1)

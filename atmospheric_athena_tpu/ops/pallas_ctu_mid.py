@@ -236,6 +236,127 @@ def grav_source(Fp2, dhalf, phic, phif, dtodx, axes):
 
 
 # ---------------------------------------------------------------------------
+# Pallas versions of the two jnp precompute passes above.  XLA materializes
+# every roll of the whole-grid formulation (measured 10.9 ms for gcross and
+# 17.4 ms for dhalf+grav_source at 256^3 f32 — vs ~1 ms each fused); these
+# single-field-operand kernels mirror the jnp op order exactly, so the
+# values are bitwise identical on every cell whose stencil stays in-grid
+# (the outermost ghost plane differs: block-clamped vs wrapped, never read).
+# ---------------------------------------------------------------------------
+
+
+def _gcross_kernel(q_ref, *refs, axes, keys, adiabatic):
+    q = {b: q_ref[0, b] for b in axes}
+    nops = len(keys)
+    outs = refs[nops:]
+    tl = _Tiles(keys, [r[...] for r in refs[:nops]])
+    d = tl.at("d")
+    phic = tl.at("phic")
+    out_iter = iter(outs)
+    for b in axes:
+        phil = tl.at(f"phif{b}")
+        phir = tl.sh(f"phif{b}", b, 1)
+        FpID = tl.at(f"FpID{b}")
+        FpIDr = tl.sh(f"FpID{b}", b, 1)
+        dMb = q[b] * (phir - phil) * d
+        dE = q[b] * (FpID * (phic - phil) + FpIDr * (phir - phic))
+        next(out_iter)[...] = jnp.stack([dMb, dE])
+
+
+def gcross_pl(U, phic, phif, Fp, q, axes, grid: GridConfig):
+    """Pallas gcross: same output dict {b: (2, Nz, Ny, Nx)}."""
+    NZ, NY, NX = U.shape[1:]
+    bz, by = _tiles(NZ, NY, NX)
+    gz, gy = NZ // bz, NY // by
+    ops = _Operands()
+    ops.add("d", U[ID])
+    ops.add("phic", phic)
+    for b in axes:
+        dzb = 1 if b == 2 else 0
+        dyb = 1 if b == 1 else 0
+        ops.need_shift(f"phif{b}", phif[b], dzb, dyb)
+        ops.need_shift(f"FpID{b}", Fp[b][ID], dzb, dyb)
+    qarr = jnp.stack([q.get(b, jnp.zeros((), U.dtype)) for b in range(3)]
+                     + [jnp.zeros((), U.dtype)]).reshape(1, 4)
+    smem = pl.BlockSpec((1, 4), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_gcross_kernel, axes=tuple(axes),
+                          keys=tuple(ops.keys), adiabatic=True),
+        grid=(gz, gy),
+        in_specs=[smem] + ops.specs(None, gz, gy, NX, bz, by),
+        out_specs=tuple(_mkspec((2, bz, by, NX), 0, 0, gz, gy)
+                        for _ in axes),
+        out_shape=tuple(jax.ShapeDtypeStruct((2, NZ, NY, NX), U.dtype)
+                        for _ in axes),
+        interpret=_interpret(),
+        compiler_params=_cparams(),
+    )(qarr, *ops.args)
+    return {b: out[i] for i, b in enumerate(axes)}
+
+
+def _sg_kernel(q_ref, *refs, axes, keys):
+    # q_ref row 0: q (dhalf), row 1: dtodx
+    nops = len(keys)
+    (out_ref,) = refs[nops:]
+    tl = _Tiles(keys, [r[...] for r in refs[:nops]])
+    d = tl.at("d")
+    phic = tl.at("phic")
+    dhalf = d
+    for a in axes:
+        dFID = tl.sh(f"FpID{a}", a, 1) - tl.at(f"FpID{a}")
+        dhalf = dhalf - q_ref[0, a] * dFID
+    dM, dE = [], []
+    for a in range(3):
+        if a in axes:
+            phil = tl.at(f"phif{a}")
+            phir = tl.sh(f"phif{a}", a, 1)
+            F2 = tl.at(f"Fp2ID{a}")
+            F2r = tl.sh(f"Fp2ID{a}", a, 1)
+            dM.append(q_ref[1, a] * (phir - phil) * dhalf)
+            dE.append(q_ref[1, a] * (F2 * (phic - phil) +
+                                     F2r * (phir - phic)))
+        else:
+            dM.append(jnp.zeros_like(dhalf))
+            dE.append(jnp.zeros_like(dhalf))
+    out_ref[...] = jnp.stack(dM + dE)
+
+
+def grav_source_pl(U, Fp, Fp2, phic, phif, q, dtodx, axes,
+                   grid: GridConfig):
+    """Pallas dhalf + grav_source: returns the stacked (6, ...) Sg."""
+    NZ, NY, NX = U.shape[1:]
+    bz, by = _tiles(NZ, NY, NX)
+    gz, gy = NZ // bz, NY // by
+    ops = _Operands()
+    ops.add("d", U[ID])
+    ops.add("phic", phic)
+    for a in axes:
+        dzb = 1 if a == 2 else 0
+        dyb = 1 if a == 1 else 0
+        ops.need_shift(f"phif{a}", phif[a], dzb, dyb)
+        ops.need_shift(f"FpID{a}", Fp[a][ID], dzb, dyb)
+        ops.need_shift(f"Fp2ID{a}", Fp2[a][ID], dzb, dyb)
+    qarr = jnp.stack(
+        [q.get(b, jnp.zeros((), U.dtype)) for b in range(3)]
+        + [jnp.zeros((), U.dtype)]
+        + [dtodx.get(b, jnp.zeros((), U.dtype)) for b in range(3)]
+        + [jnp.zeros((), U.dtype)]).reshape(2, 4)
+    smem = pl.BlockSpec((2, 4), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        functools.partial(_sg_kernel, axes=tuple(axes),
+                          keys=tuple(ops.keys)),
+        grid=(gz, gy),
+        in_specs=[smem] + ops.specs(None, gz, gy, NX, bz, by),
+        out_specs=_mkspec((6, bz, by, NX), 0, 0, gz, gy),
+        out_shape=jax.ShapeDtypeStruct((6, NZ, NY, NX), U.dtype),
+        interpret=_interpret(),
+        compiler_params=_cparams(),
+    )(qarr, *ops.args)
+
+
+# ---------------------------------------------------------------------------
 # steps 5-7 (+ H-correction eta): transverse corrections
 # ---------------------------------------------------------------------------
 

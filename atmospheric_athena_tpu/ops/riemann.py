@@ -106,6 +106,14 @@ def hlle(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
     """HLLE flux (hlle.c:62-260)."""
     avg = _roe_averages(Ul, Ur, Wl, Wr, Bxi, sim)
     ev, _, _ = _esys_roe(avg, Bxi, sim, vectors=False)
+    return _hlle_core(Ul, Ur, Wl, Wr, Bxi, sim, avg, ev)
+
+
+def _hlle_core(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, avg, ev):
+    """HLLE body with the Roe averages/eigenvalues passed in, so the
+    branchless Roe fallback reuses them instead of recomputing (hlle.c's
+    own computation is value-identical — the eigenvalues do not depend on
+    the vectors flag)."""
 
     def cf_side(U, W):
         if sim.adiabatic:
@@ -210,7 +218,7 @@ def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
     use_hlle = bad & ~(sup_l | sup_r)
 
     def with_fallback(_):
-        F_hlle = hlle(Ul, Ur, Wl, Wr, Bxi, sim)
+        F_hlle = _hlle_core(Ul, Ur, Wl, Wr, Bxi, sim, avg, ev)
         return jnp.where(use_hlle, F_hlle, F)
 
     if branchless:

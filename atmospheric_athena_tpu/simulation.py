@@ -55,6 +55,8 @@ def parse_configure_line(par: ParameterDB) -> dict:
             out["nscalars"] = int(val)
         elif key == "problem":
             out["_problem"] = val
+        elif key == "coord":
+            out["_coord"] = val
     for m in re.finditer(r"--enable-(\w[\w-]*)", cfgline):
         key = m.group(1)
         if key == "h-correction":
@@ -109,14 +111,17 @@ class Simulation:
         auto = parse_configure_line(par)
         problem = problem or auto.pop("_problem", None)
         auto.pop("_problem", None)
+        coord = auto.pop("_coord", "cartesian")
         if problem is None:
             raise ValueError("no problem name given or found in deck")
         auto.update(sim_overrides)
+        coord = auto.pop("coord", coord)
         prob_cls = get_problem(problem)
         for k, v in getattr(prob_cls, "sim_overrides", {}).items():
             auto.setdefault(k, v)
+        coord = getattr(prob_cls, "coord", coord)
         sim = sim_config_from_par(par, **auto)
-        grid = grid_config_from_par(par)
+        grid = grid_config_from_par(par, coord=coord)
         prob = prob_cls(par, sim, grid)
         state = prob.init(par, sim, grid)
         state = bvals.apply_bc(state, grid, sim, prob)

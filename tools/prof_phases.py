@@ -48,19 +48,26 @@ dtodx = {a: dt / grid.dx[a] for a in axes}
 q = {a: 0.5 * dtodx[a] for a in axes}
 
 # --- hydro phases -----------------------------------------------------------
+import os
+SKIP_SWEEP = os.environ.get('SKIP_SWEEP', '0') == '1'
 sw = {}
 for a in axes:
-    sw[a] = timeit(
-        f'sweep_lrflux axis{a}',
-        jax.jit(lambda U, dtdx, a=a: pallas_hydro.sweep_lrflux(
-            U, phic, phif[a], dtdx, sim, a)), U, dtodx[a])
+    f = jax.jit(lambda U, dtdx, phic, phif_a, a=a:
+                pallas_hydro.sweep_lrflux(U, phic, phif_a, dtdx, sim, a))
+    if SKIP_SWEEP:
+        sw[a] = f(U, dtodx[a], phic, phif[a])
+        float(jnp.sum(sw[a][0][0]))
+    else:
+        sw[a] = timeit(f'sweep_lrflux axis{a}', f, U, dtodx[a], phic,
+                       phif[a])
 Ulp = {a: sw[a][0] for a in axes}
 Urp = {a: sw[a][1] for a in axes}
 Fp = {a: sw[a][2] for a in axes}
 
 G = timeit('gcross', jax.jit(
-    lambda U, Fp: pallas_ctu_mid.gcross(U, phic, phif, Fp, q, axes)),
-    U, Fp)
+    lambda U, Fp, phic, phif: pallas_ctu_mid.gcross(U, phic, phif, Fp,
+                                                    q, axes)),
+    U, Fp, phic, phif)
 
 tc = {}
 for a in axes:
@@ -92,15 +99,15 @@ def dhalf_fn(U, Fp):
 
 dhalf = timeit('dhalf', jax.jit(dhalf_fn), U, Fp)
 Sg = timeit('grav_source', jax.jit(
-    lambda Fp2, dhalf: pallas_ctu_mid.grav_source(
-        Fp2, dhalf, phic, phif, dtodx, axes)), Fp2, dhalf)
+    lambda Fp2, dhalf, phic, phif: pallas_ctu_mid.grav_source(
+        Fp2, dhalf, phic, phif, dtodx, axes)), Fp2, dhalf, phic, phif)
 timeit('final_update', jax.jit(
     lambda U, Fp2, Sg: pallas_ctu_mid.final_update(
         U, Fp2, Sg, dtodx, sim, grid, axes)), U, Fp2, Sg)
 
 timeit('hydro total', jax.jit(
-    lambda st: ctu3d.step(st, st.dt, sim, grid, s.problem,
-                          phi=(phic, phif))), st)
+    lambda st, phi: ctu3d.step(st, st.dt, sim, grid, s.problem,
+                               phi=phi)), st, (phic, phif))
 
 # --- radiation --------------------------------------------------------------
 from atmospheric_athena_tpu.ionrad import pallas_rad
@@ -117,7 +124,7 @@ from atmospheric_athena_tpu.ionrad.driver import (_apply_floors, _temp,
 E0, s00 = _apply_floors(E, s0, d, ke_be, sim, s.ion)
 _, e_th_init, x_init = _temp(E0, s00, d, ke_be, sim, s.ion)
 d_nlim = _d_nlim(d, s.ion)
-rates_fn, update_fn = pallas_rad.build(
+rates_fn, update_fn, _fused = pallas_rad.build(
     sim, grid, s.ion, d, ke_be, M1, M2, M3, E0, e_th_init, x_init, d_nlim)
 from atmospheric_athena_tpu.ionrad.plane import inlet_ramp
 Fin0 = inlet_ramp(s.ion.radplanes[0][1], st.time, s.ion)
