@@ -23,8 +23,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .config import (BC_CONDUCTOR, BC_OUTFLOW, BC_PERIODIC, BC_REFLECT,
-                     BC_USER, GridConfig, SimConfig)
+from .config import (BC_CONDUCTOR, BC_DONOTHING, BC_OUTFLOW, BC_PERIODIC,
+                     BC_REFLECT, BC_USER, GridConfig, SimConfig)
 from .defs import IM1
 from .state import State
 
@@ -246,6 +246,10 @@ def _apply_bc_jnp(state: State, grid: GridConfig, sim: SimConfig,
         ad_U = _adim(axis) + 1      # +1 for variable axis of U / Bcc
         ad = _adim(axis)
         for side, flag in zip(("lo", "hi"), grid.bc[axis]):
+            if flag == BC_DONOTHING:
+                # flag 3: ghosts keep their problem-initialized values
+                # (the tst/cylindrical decks' do_nothing_bc enrollment)
+                continue
             if flag == BC_USER:
                 name = f"bc_{'i' if side == 'lo' else 'o'}x{axis + 1}"
                 fn = getattr(problem, name, None)

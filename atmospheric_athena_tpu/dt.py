@@ -30,7 +30,7 @@ def max_dti(state: State, sim: SimConfig, grid: GridConfig):
         return _jnp.asarray(dti, state.U.dtype)
 
     from .ops import pallas_util
-    if pallas_util.supported(sim, grid):
+    if pallas_util.supported(sim, grid) and not grid.cylindrical:
         return pallas_util.max_dti_hydro(state.U, sim, grid)
 
     sl = grid.interior()
@@ -69,7 +69,16 @@ def max_dti(state: State, sim: SimConfig, grid: GridConfig):
     dti = jnp.zeros((), U.dtype)
     for a in range(3):
         if grid.Nx[a] > 1:
-            max_v = jnp.max(jnp.abs(v[a]) + jnp.sqrt(cfsq[a]))
+            sig = jnp.abs(v[a]) + jnp.sqrt(cfsq[a])
+            if a == 1 and grid.cylindrical:
+                # phi signal speed over the ARC length r·dphi
+                # (new_dt.c:129-131: max_v2 uses (|v2|+cf2)/x1)
+                import numpy as np
+                r = jnp.asarray(
+                    np.asarray(grid.r_coords(), U.dtype)[
+                        grid.lo(0):grid.hi(0) + 1])
+                sig = sig / r
+            max_v = jnp.max(sig)
             dti = jnp.maximum(dti, max_v / grid.dx[a])
     return dti
 

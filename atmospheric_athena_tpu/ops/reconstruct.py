@@ -44,12 +44,15 @@ def dc(W, Bx, dtodx, sim: SimConfig):
     return W, W
 
 
-def _char_slopes(W, Bx, sim: SimConfig, characteristic=True):
+def _char_slopes(W, Bx, sim: SimConfig, characteristic=True, geom=None):
     """Monotonized slopes dWm per cell plus the eigensystem —
     PLM steps 1-5 (lr_states_plm.c:98-203), shared by PLM and PPM (the
     latter repeats them verbatim, lr_states_ppm.c:105-207).  With
     characteristic=False the limiting acts directly on the primitive
-    variables (lr_states_prim2.c:104-131 / prim3, orders 2p/3p)."""
+    variables (lr_states_prim2.c:104-131 / prim3, orders 2p/3p).
+
+    `geom`: cylindrical R-sweep weights (lr_states_plm.c:123-141) from
+    cyl.plm_geom(), or None for Cartesian sweeps."""
     nw = sim.nwave
     nv = nw + sim.nscalars
     assert W.shape[0] == nv, (W.shape, nv)
@@ -63,6 +66,12 @@ def _char_slopes(W, Bx, sim: SimConfig, characteristic=True):
     dWc = [p - m for p, m in zip(Wp, Wm)]
     dWl = [c - m for c, m in zip(Wc, Wm)]
     dWr = [p - c for p, c in zip(Wp, Wc)]
+    if geom is not None:
+        # cylindrical conservative-slope weights z_c/z_l/z_r applied to
+        # the raw differences BEFORE the van-Leer mean / projection
+        dWc = [geom["zc"] * q for q in dWc]
+        dWl = [geom["zl"] * q for q in dWl]
+        dWr = [geom["zr"] * q for q in dWr]
     dWg = [jnp.where(l * r > 0.0, 2.0 * l * r / jnp.where(l + r == 0.0, 1.0,
                                                           l + r), 0.0)
            for l, r in zip(dWl, dWr)]
@@ -89,31 +98,70 @@ def _char_slopes(W, Bx, sim: SimConfig, characteristic=True):
     return Wc, Wp, Wm, dWmn, ev, rem, lem
 
 
-def plm(W, Bx, dtodx, sim: SimConfig, characteristic=True):
+def _fpl(qx, geom):
+    """Plus-side cylindrical tracing curvature factor
+    (lr_states_plm.c:272-301): qx·(1 − dx·qx/(3(ri[i+1] − dx·qx)))."""
+    if geom is None:
+        return qx
+    dx = geom["dx"]
+    return qx * (1.0 - dx * qx / (3.0 * (geom["rir"] - dx * qx)))
+
+
+def _fmr(qx, geom):
+    """Minus-side factor: qx·(1 + dx·qx/(3(ri[i] + dx·qx)))."""
+    if geom is None:
+        return qx
+    dx = geom["dx"]
+    return qx * (1.0 + dx * qx / (3.0 * (geom["ril"] + dx * qx)))
+
+
+def plm(W, Bx, dtodx, sim: SimConfig, characteristic=True, geom=None):
     """Piecewise-linear reconstruction + CTU tracing (characteristic
     projection for order '2', primitive-variable limiting for '2p').
 
     W: stacked primitives [nvar1d, ..., M]; Bx: [..., M] (MHD) or None.
-    dtodx: dt/dx (traced scalar).  Returns (Wminus, Wplus), same shape as W.
+    dtodx: dt/dx (traced scalar, or per-cell array for cylindrical phi
+    sweeps).  `geom`: cylindrical R-sweep geometry (cyl.plm_geom()) or
+    None.  Returns (Wminus, Wplus), same shape as W.
     """
     nw = sim.nwave
     nv = nw + sim.nscalars
     Wc, Wp, Wm, dWmn, ev, rem, lem = _char_slopes(W, Bx, sim,
-                                                  characteristic)
+                                                  characteristic, geom)
 
-    # Step 7: L/R values limited between neighbours (:222-236; Cartesian
-    # gamma_curv=0 so beta=1)
-    Wlv = [c - 0.5 * m for c, m in zip(Wc, dWmn)]
-    Wrv = [c + 0.5 * m for c, m in zip(Wc, dWmn)]
-    for n in range(nv):
-        C = Wrv[n] + Wlv[n]
-        lv = jnp.maximum(jnp.minimum(Wc[n], Wm[n]), Wlv[n])
-        lv = jnp.minimum(jnp.maximum(Wc[n], Wm[n]), lv)
-        rv = C - lv
-        rv = jnp.maximum(jnp.minimum(Wc[n], Wp[n]), rv)
-        rv = jnp.minimum(jnp.maximum(Wc[n], Wp[n]), rv)
-        lv = C - rv
-        Wlv[n], Wrv[n] = lv, rv
+    # Step 7: L/R values limited between neighbours (:214-236); the
+    # cylindrical R sweep uses the curvature asymmetry gamma_curv =
+    # dx/(6r) with the mean C = Wrv + beta·Wlv preserved through the
+    # clamps (Cartesian: gamma_curv = 0, beta = 1 — kept as the exact
+    # original expressions)
+    if geom is None:
+        Wlv = [c - 0.5 * m for c, m in zip(Wc, dWmn)]
+        Wrv = [c + 0.5 * m for c, m in zip(Wc, dWmn)]
+        for n in range(nv):
+            C = Wrv[n] + Wlv[n]
+            lv = jnp.maximum(jnp.minimum(Wc[n], Wm[n]), Wlv[n])
+            lv = jnp.minimum(jnp.maximum(Wc[n], Wm[n]), lv)
+            rv = C - lv
+            rv = jnp.maximum(jnp.minimum(Wc[n], Wp[n]), rv)
+            rv = jnp.minimum(jnp.maximum(Wc[n], Wp[n]), rv)
+            lv = C - rv
+            Wlv[n], Wrv[n] = lv, rv
+    else:
+        opg = 1.0 + geom["gcurv"]
+        omg = 1.0 - geom["gcurv"]
+        beta = omg / opg
+        betai = opg / omg
+        Wlv = [c - 0.5 * m * opg for c, m in zip(Wc, dWmn)]
+        Wrv = [c + 0.5 * m * omg for c, m in zip(Wc, dWmn)]
+        for n in range(nv):
+            C = Wrv[n] + beta * Wlv[n]
+            lv = jnp.maximum(jnp.minimum(Wc[n], Wm[n]), Wlv[n])
+            lv = jnp.minimum(jnp.maximum(Wc[n], Wm[n]), lv)
+            rv = C - beta * lv
+            rv = jnp.maximum(jnp.minimum(Wc[n], Wp[n]), rv)
+            rv = jnp.minimum(jnp.maximum(Wc[n], Wp[n]), rv)
+            lv = (C - rv) * betai
+            Wlv[n], Wrv[n] = lv, rv
 
     dW = [r - l for r, l in zip(Wrv, Wlv)]
 
@@ -122,25 +170,32 @@ def plm(W, Bx, dtodx, sim: SimConfig, characteristic=True):
         return jnp.stack(Wlv), jnp.stack(Wrv)
 
     if sim.flux in HLL_FLUXES:
-        return _trace_hll(Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim)
-    return _trace_ctu(Wc, Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim)
+        return _trace_hll(Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim,
+                          geom)
+    return _trace_ctu(Wc, Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim,
+                      geom)
 
 
-def _trace_ctu(Wc, Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim):
+def _trace_ctu(Wc, Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim, geom=None):
     """CTU characteristic tracing, non-HLL branch (lr_states_plm.c:296-367)."""
     ev_max, ev_min = ev[nw - 1], ev[0]
 
     # Step 8: integrate over domain of dependence
-    qxp = 0.5 * jnp.maximum(ev_max, 0.0) * dtodx
+    qxp = _fpl(0.5 * jnp.maximum(ev_max, 0.0) * dtodx, geom)
     Wplus = [rv - qxp * d for rv, d in zip(Wrv, dW)]
-    qxm = -0.5 * jnp.minimum(ev_min, 0.0) * dtodx
+    qxm = _fmr(-0.5 * jnp.minimum(ev_min, 0.0) * dtodx, geom)
     Wminus = [lv + qxm * d for lv, d in zip(Wlv, dW)]
 
     # Step 9: subtract waves that do not reach the interface (:322-358)
     dWw = dW[:nw]
     for n in range(nw):
         mask_p = ev[n] >= 0.0
-        qx = 0.5 * dtodx * (ev_max - ev[n])
+        if geom is None:
+            qx = 0.5 * dtodx * (ev_max - ev[n])
+        else:
+            # per-term curvature factors (:326-332)
+            qx = _fpl(0.5 * dtodx * ev_max, geom) - \
+                _fpl(0.5 * dtodx * ev[n], geom)
         qa = eigen.lmul([lem[n]], [qx * d for d in dWw])[0]
         qa = jnp.where(mask_p, qa, 0.0)
         rcol = eigen.column(rem, n)
@@ -151,7 +206,12 @@ def _trace_ctu(Wc, Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim):
             Wplus[m] = Wplus[m] + qa * c
 
         mask_m = ev[n] <= 0.0
-        qx = 0.5 * dtodx * (ev_min - ev[n])
+        if geom is None:
+            qx = 0.5 * dtodx * (ev_min - ev[n])
+        else:
+            # qx = -qx1 + qx2 with qx1/qx2 factored separately (:343-352)
+            qx = -_fmr(-0.5 * dtodx * ev_min, geom) + \
+                _fmr(-0.5 * dtodx * ev[n], geom)
         qa = eigen.lmul([lem[n]], [qx * d for d in dWw])[0]
         qa = jnp.where(mask_m, qa, 0.0)
         for m in range(nw):
@@ -171,7 +231,7 @@ def _trace_ctu(Wc, Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim):
     return jnp.stack(Wminus), jnp.stack(Wplus)
 
 
-def _trace_hll(Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim):
+def _trace_hll(Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim, geom=None):
     """CTU tracing for HLL-family fluxes (lr_states_plm.c:257-294): subtract
     each wave moving toward the interface.  The reference leaves scalar L/R
     states unset in this branch (loops run only n<NWAVE); we use the untraced
@@ -181,9 +241,20 @@ def _trace_hll(Wlv, Wrv, dW, ev, rem, lem, dtodx, nw, sim):
     dWw = dW[:nw]
     for n in range(nw):
         qx = 0.5 * dtodx * ev[n]
-        qa = eigen.lmul([lem[n]], [qx * d for d in dWw])[0]
-        qa_p = jnp.where(ev[n] > 0.0, qa, 0.0)
-        qa_m = jnp.where(ev[n] < 0.0, qa, 0.0)
+        qx_p = _fpl(qx, geom)
+        # NB the HLL branch's minus side keeps the SAME factor form with
+        # ri[i] (qx < 0 there), lr_states_plm.c:286-290 — unlike the
+        # non-HLL branch's sign-flipped _fmr
+        if geom is None:
+            qx_m = qx
+        else:
+            dx = geom["dx"]
+            qx_m = qx * (1.0 - dx * qx / (3.0 * (geom["ril"] - dx * qx)))
+        qa_p = eigen.lmul([lem[n]], [qx_p * d for d in dWw])[0]
+        qa_m = qa_p if geom is None else \
+            eigen.lmul([lem[n]], [qx_m * d for d in dWw])[0]
+        qa_p = jnp.where(ev[n] > 0.0, qa_p, 0.0)
+        qa_m = jnp.where(ev[n] < 0.0, qa_m, 0.0)
         rcol = eigen.column(rem, n)
         for m in range(nw):
             c = rcol[m]
@@ -317,24 +388,29 @@ def ppm(W, Bx, dtodx, sim: SimConfig, characteristic=True):
     return jnp.stack(Wminus), jnp.stack(Wplus)
 
 
-def lr_states(W, Bx, dtodx, sim: SimConfig, axis: int = -1):
+def lr_states(W, Bx, dtodx, sim: SimConfig, axis: int = -1, geom=None):
     """Dispatch on sim.order (reconstruction/prototypes.h:40-46).
 
     `axis` is the sweep axis within W's trailing dims; passing it avoids
     transposing the whole grid per sweep (the only axis-dependent op in
     reconstruction is the neighbor shift — everything else is elementwise,
     so XLA sees identical arithmetic with zero data movement).
+    `geom`: cylindrical R-sweep geometry (integrators/cyl.plm_geom) or
+    None (Cartesian / phi / z sweeps).
     """
     global _AXIS
     _AXIS = axis
+    if geom is not None and sim.order not in ("1", "2", "2p"):
+        raise NotImplementedError(
+            "cylindrical reconstruction: PLM only (lr_states_plm.c)")
     if sim.order == "1":
         return dc(W, Bx, dtodx, sim)
     if sim.order == "2":
-        return plm(W, Bx, dtodx, sim)
+        return plm(W, Bx, dtodx, sim, geom=geom)
     if sim.order == "3":
         return ppm(W, Bx, dtodx, sim)
     if sim.order == "2p":
-        return plm(W, Bx, dtodx, sim, characteristic=False)
+        return plm(W, Bx, dtodx, sim, characteristic=False, geom=geom)
     if sim.order == "3p":
         return ppm(W, Bx, dtodx, sim, characteristic=False)
     raise NotImplementedError(f"order={sim.order} not yet implemented")

@@ -226,9 +226,13 @@ def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
     return jax.lax.cond(jnp.any(use_hlle), with_fallback, lambda _: F, None)
 
 
-def hllc(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+def hllc(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None,
+         return_pflux=False):
     """HLLC flux, hydro only (hllc.c:32-254): HLLE bounds + restored
-    contact wave with pressure cp and speed am."""
+    contact wave with pressure cp and speed am.
+
+    return_pflux: also return the interface pressure Pflux the
+    cylindrical geometric source terms need (hllc.c:219-246)."""
     assert not sim.mhd, "HLLC is hydro-only (hllc.c:36-37)"
     avg = _roe_averages(Ul, Ur, Wl, Wr, Bxi, sim)
     ev, _, _ = _esys_roe(avg, Bxi, sim, vectors=False)
@@ -271,7 +275,19 @@ def hllc(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
         F[4] = F[4] + sm * cp * am
     for n in range(sim.nscalars):
         F.append(jnp.where(F[0] >= 0.0, F[0] * Wl[nw + n], F[0] * Wr[nw + n]))
-    return jnp.stack(F)
+    if not return_pflux:
+        return jnp.stack(F)
+    # interface pressure for cylindrical geometric sources (hllc.c:219-246)
+    if sim.adiabatic:
+        pmid = cp
+        pl_, pr_ = Wl[4], Wr[4]
+    else:
+        pmid = jnp.where(am >= 0.0,
+                         Wl[0] * (al - Wl[1]) / (al - am),
+                         Wr[0] * (ar - Wr[1]) / (ar - am))
+        pl_, pr_ = Wl[0] * sim.iso_csound2, Wr[0] * sim.iso_csound2
+    pflux = jnp.where(al > 0.0, pl_, jnp.where(ar < 0.0, pr_, pmid))
+    return jnp.stack(F), pflux
 
 
 def hlld(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):

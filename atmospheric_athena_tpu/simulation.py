@@ -155,7 +155,12 @@ class Simulation:
         cour_no, tlim = self.cour_no, self.tlim
         ndim = grid.ndim
 
-        if sim.integrator == "vl":
+        if grid.cylindrical:
+            if sim.integrator != "ctu" or sim.mhd:
+                raise NotImplementedError(
+                    "cylindrical coordinates: CTU hydro only")
+            from .integrators import cyl as integ
+        elif sim.integrator == "vl":
             if ndim == 3:
                 if sim.special_relativity and sim.mhd:
                     raise NotImplementedError("3D VL-SR MHD pending")
@@ -211,9 +216,13 @@ class Simulation:
         # large constant fields travel through jit as ARGUMENTS (not
         # trace-time constants — those inflate the serialized program past
         # the remote-compile payload limit at production sizes)
-        from .integrators.ctu3d import _phi_arrays
         dtype = self.state.U.dtype
-        phi0 = _phi_arrays(problem, grid, dtype) if ndim > 1 else None
+        if grid.cylindrical:
+            from .integrators.cyl import _phi_arrays as _cyl_phi
+            phi0 = _cyl_phi(problem, grid, dtype)
+        else:
+            from .integrators.ctu3d import _phi_arrays
+            phi0 = _phi_arrays(problem, grid, dtype) if ndim > 1 else None
         uw_aux0 = (problem.userwork_aux(dtype, sim, grid)
                    if hasattr(problem, "userwork_aux") else None)
         self._step_aux = (phi0, uw_aux0)

@@ -1,0 +1,76 @@
+"""Cylindrical-coordinate CTU integrator vs the reference C binary
+(--with-coord=cylindrical builds; tst/cylindrical decks).
+
+Goldens (tests/golden/README.md recipe):
+  cylblast2d_*    — athinput.cylblast_B0-2D (200x300 R-phi hydro blast,
+                    config --with-problem=cylblast --with-coord=cylindrical
+                    --with-gas=hydro; flux hllc), 20 cycles.
+  cylwindrot1d_*  — athinput.cylwindrot-1D (128-zone rotating transonic
+                    wind with point-mass gravity via x1GravAcc), 30
+                    cycles.  The init differs at the bisection tolerance
+                    (~4e-8 abs), so the trajectory comparison is at 1e-6.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from atmospheric_athena_tpu import Simulation
+
+HERE = os.path.dirname(__file__)
+GOLD = os.path.join(HERE, "golden")
+
+
+def test_cylblast_2d_vs_reference():
+    s = Simulation.from_file(os.path.join(GOLD, "athinput.cylblast2d"),
+                             dtype="float64")
+    assert s.grid.cylindrical and s.sim.flux == "hllc"
+    g0 = np.load(os.path.join(GOLD, "cylblast2d_init.npz"))
+    sl = (slice(None),) + s.grid.interior()
+    U = np.asarray(s.state.U)[sl]
+    np.testing.assert_allclose(U[0][0], g0["d"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(U[4][0], g0["E"], rtol=0, atol=1e-12)
+
+    g = np.load(os.path.join(GOLD, "cylblast2d_20cycles.npz"))
+    for _ in range(20):
+        s.step()
+    assert float(s.state.time) == pytest.approx(float(g["time"]),
+                                                rel=1e-5)
+    U = np.asarray(s.state.U)[sl]
+    for k, n in [(0, "d"), (1, "M1"), (2, "M2"), (3, "M3"), (4, "E")]:
+        scale = np.abs(g[n]).max()
+        np.testing.assert_allclose(U[k][0], g[n], rtol=0,
+                                   atol=1e-10 * max(scale, 1e-30))
+
+
+def test_cylwindrot_1d_vs_reference():
+    s = Simulation.from_file(os.path.join(GOLD, "athinput.cylwindrot1d"),
+                             dtype="float64")
+    assert s.grid.cylindrical
+    g = np.load(os.path.join(GOLD, "cylwindrot1d_30cycles.npz"))
+    for _ in range(30):
+        s.step()
+    assert float(s.state.time) == pytest.approx(float(g["time"]),
+                                                rel=1e-5)
+    sl = (slice(None),) + s.grid.interior()
+    U = np.asarray(s.state.U)[sl]
+    for k, n in [(0, "d"), (1, "M1"), (2, "M2"), (4, "E")]:
+        scale = np.abs(g[n]).max()
+        np.testing.assert_allclose(U[k][0, 0], g[n], rtol=0,
+                                   atol=1e-6 * scale)
+
+
+def test_cylwindrot_steady_state():
+    """The transonic wind is a steady solution: after 30 cycles the
+    relative drift from the initial profile stays small (the reference's
+    own Userwork_after_loop error diagnostic)."""
+    s = Simulation.from_file(os.path.join(GOLD, "athinput.cylwindrot1d"),
+                             dtype="float64")
+    sl = (slice(None),) + s.grid.interior()
+    U0 = np.asarray(s.state.U)[sl]
+    for _ in range(30):
+        s.step()
+    U = np.asarray(s.state.U)[sl]
+    drift = np.abs(U - U0).max() / np.abs(U0).max()
+    assert drift < 5e-3, drift
