@@ -141,13 +141,12 @@ def _bc_slab(U, adim, ng, flag, lo: bool, mom):
         reps[adim] = ng
         return jnp.tile(edge, reps)
     # reflect / conductor: mirror + negate the normal momentum
+    # (component-sliced concat — a constant sign vector would be a
+    # captured array, which Mosaic kernels reject)
     blk = jnp.flip(take(slice(ng, 2 * ng) if lo
                         else slice(n - 2 * ng, n - ng)), axis=adim)
-    sgn = [1.0] * U.shape[0]
-    sgn[mom] = -1.0
-    sgnv = jnp.asarray(sgn, U.dtype).reshape(
-        (-1,) + (1,) * (U.ndim - 1))
-    return blk * sgnv
+    return jnp.concatenate([blk[:mom], -blk[mom:mom + 1],
+                            blk[mom + 1:]], axis=0)
 
 
 def _bc_kernel(U_ref, out_ref, *, grid: GridConfig, flags, bz, by, gz, gy):

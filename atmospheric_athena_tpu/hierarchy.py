@@ -226,11 +226,16 @@ class MeshSimulation:
                 float(st.dt)
             return st
 
-        def J(key, fn):
+        def J(key, fn, donate=None):
             # cached per-level jit boundaries; under the whole-cycle jit
-            # (phased=False) these inline into the outer trace
+            # (phased=False) these inline into the outer trace.
+            # donate: argnums whose buffers the phase may reuse (phased
+            # mode only — the hires level-4 state is 850 MB)
             if key not in jits:
-                jits[key] = jax.jit(fn)
+                if donate is not None and phased:
+                    jits[key] = jax.jit(fn, donate_argnums=donate)
+                else:
+                    jits[key] = jax.jit(fn)
             return jits[key]
 
         ion = None
@@ -396,8 +401,8 @@ class MeshSimulation:
                                 emfs, grids[_li], links[ci])
                         pk[f"child{ci}"] = cp
                     return snew, pk
-                snew, pk = J(("hydro", li), hyd)(states[li], dt,
-                                                 auxs[li][0])
+                snew, pk = J(("hydro", li), hyd, donate=(0,))(
+                    states[li], dt, auxs[li][0])
                 new_states.append(sync(snew))
                 planes.append(pk)
             states = new_states

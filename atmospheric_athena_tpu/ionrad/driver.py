@@ -333,6 +333,25 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
     # never reshards an (Nx+1)-face array
     dist = (mesh is not None and mesh.shape.get("x", 1) > 1
             and n_planes == 1 and direction == -1 and inlet is None)
+    # coverage guard: a plane whose SWEEP axis is sharded must use the
+    # distributed scan — the serial cumprod would otherwise be taken
+    # shard-local by shard_map-style consumers.  Planes sweeping an
+    # UNSHARDED axis stay on the serial path, which GSPMD partitions
+    # correctly (the scan axis is device-local).  Unsupported sharded
+    # combinations (SMR inlet mode, multi-plane, +1/±2/±3 sweeps along
+    # a sharded axis) fail loudly instead of silently degrading
+    # (reference pipeline: ionradplane_3d.c:226-318).
+    if mesh is not None and not dist:
+        _axname = {1: "x", 2: "y", 3: "z"}
+        for _dirn, _ in ion.radplanes:
+            if mesh.shape.get(_axname[abs(_dirn)], 1) > 1:
+                raise NotImplementedError(
+                    f"radiation plane dir={_dirn}: sweep axis "
+                    f"'{_axname[abs(_dirn)]}' is sharded "
+                    f"{dict(mesh.shape)} but the distributed scan only "
+                    "covers a single dir=-1 plane without SMR inlet "
+                    "flux; reshard the mesh or run this plane "
+                    "unsharded along its sweep axis")
 
     def ph_rate_all(s0):
         """Photoionization rate summed over all planes (ionrad_3d.c:926-931);

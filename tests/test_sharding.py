@@ -179,3 +179,40 @@ def test_explicit_halo_step_matches_serial():
 
     np.testing.assert_allclose(np.asarray(out.U), np.asarray(ref.U),
                                rtol=0, atol=1e-13)
+
+
+def test_sharded_radiation_coverage_guard():
+    """An x-sharded mesh with a radiation configuration the distributed
+    scan does not cover must fail loudly at trace time, not silently run
+    a shard-local attenuation scan (VERDICT r3 item 4;
+    ionradplane_3d.c:226-318)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _ISPH_DECK
+    from atmospheric_athena_tpu.ionrad.driver import ion_radtransfer
+    par = ParameterDB.from_string(_ISPH_DECK.format(n=16))
+    s = Simulation.from_par(par, problem="ioniz_sphere", dtype="float64")
+    s._build_step()        # populates s.ion
+    mesh = make_mesh(8, shape=(1, 2, 4))   # x sharded x4
+
+    # SMR-fine inlet mode under x-sharding: not covered -> loud failure
+    inlet = jnp.ones(s.grid.padded_shape()[:2] + (1,), s.state.U.dtype)
+    with pytest.raises(NotImplementedError, match="sharded"):
+        ion_radtransfer(s.state, s.sim, s.grid, s.ion, s.state.time,
+                        s.cour_no, inlet=inlet,
+                        tcoarse=jnp.zeros(()), mesh=mesh)
+
+    # a plane sweeping an UNSHARDED axis under the same mesh is fine:
+    # the serial scan partitions correctly (sweep axis device-local)
+    import dataclasses
+    mesh_zx = make_mesh(8, shape=(2, 1, 4))   # y unsharded
+    ion_y = dataclasses.replace(s.ion, radplanes=((-2, 1.0),),
+                                time_ramp=False)
+    out, dtn = ion_radtransfer(s.state, s.sim, s.grid, ion_y,
+                               s.state.time, s.cour_no, mesh=mesh_zx)
+    assert np.isfinite(np.asarray(out.U)).all()
+
+    # ...but the same plane on a y-sharded mesh fails loudly
+    with pytest.raises(NotImplementedError, match="sharded"):
+        ion_radtransfer(s.state, s.sim, s.grid, ion_y, s.state.time,
+                        s.cour_no, mesh=mesh)

@@ -3,10 +3,11 @@
 real chip and record sanity metrics (finiteness, mass, timing) to
 SMR_HIRES_r04.json."""
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 import jax, jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir',
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
+                  os.path.join(REPO, '.jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 import numpy as np
 from atmospheric_athena_tpu import ParameterDB, Simulation
@@ -41,5 +42,5 @@ out = dict(ncyc=NCYC, wall_after_first=wall,
            finite=finite, level_masses=masses,
            levels=[list(l.grid.Nx) for l in s.levels])
 print(json.dumps(out), flush=True)
-with open('SMR_HIRES_r04.json', 'w') as f:
+with open(os.path.join(REPO, 'SMR_HIRES_r04.json'), 'w') as f:
     json.dump(out, f, indent=1)
