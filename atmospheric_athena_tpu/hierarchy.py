@@ -371,9 +371,16 @@ class MeshSimulation:
             new_states = []
             for li in range(nlev):
                 def hyd(s, d, phi_, _li=li):
+                    import numpy as _np
+                    kw = {}
+                    if (phased and not sim.mhd and
+                            _np.prod(grids[_li].padded_shape()) > 16e6):
+                        # hires levels: trade sweep recompute for peak
+                        # HBM (ctu3d.step low_mem path)
+                        kw["low_mem"] = True
                     out = integ_step(_li)(s, d, sim, grids[_li],
                                           probs[_li], return_fluxes=True,
-                                          phi=phi_)
+                                          phi=phi_, **kw)
                     if sim.mhd:
                         snew, (FU, FByz, emfs) = out
                         FB = {a: bflux(FByz, a) for a in FU}

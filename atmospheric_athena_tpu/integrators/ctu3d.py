@@ -86,7 +86,8 @@ def _cfast_cons(Uc, axis, sim: SimConfig, Bx=None):
 
 
 def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
-         phi_sg=None, selfg_pars=None, return_fluxes=False, phi=None):
+         phi_sg=None, selfg_pars=None, return_fluxes=False, phi=None,
+         low_mem=False):
     """One CTU step over all active axes (2 or 3 of them).
 
     phi_sg: self-gravity potential (padded array) solved from rho at t^n;
@@ -114,6 +115,52 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     use_pallas = (sim.pallas_enabled and phi_sg is None and len(axes) == 3
                   and pallas_hydro.supported(sim, grid))
     use_pallas_mid = use_pallas and pallas_ctu_mid.supported(grid)
+
+    if low_mem and use_pallas_mid:
+        # hires phased mode: recompute the sweep L/R states per axis in
+        # the transverse phase instead of keeping all three axes' state
+        # pairs alive alongside their fluxes — at 328^3 f32 the standard
+        # schedule peaks over the chip's HBM (one 6-field array is
+        # 850 MB; sweeps hold 9, transverse adds 6 more).  Costs one
+        # extra sweep_lrflux per axis; used only when the driver asks.
+        import jax as _jax
+        Fp = {}
+        for a in axes:
+            Fp[a] = pallas_hydro.sweep_lrflux(
+                U, phic, phif[a] if phic is not None else None,
+                dtodx[a], sim, a)[2]
+        # barrier: the recomputed sweeps below must not be hoisted
+        # before the flux-only sweeps complete (that would resurrect
+        # the full working set)
+        ub, fb = _jax.lax.optimization_barrier(
+            (U, tuple(Fp[a] for a in axes)))
+        Fp = dict(zip(axes, fb))
+        FpID = {a: Fp[a][ID] for a in axes}
+        G = (pallas_ctu_mid.gcross_pl(ub, phic, phif, Fp, q, axes, grid)
+             if phic is not None else None)
+        Ulc, Urc, etaP = {}, {}, {}
+        for a in axes:
+            Ulp_a, Urp_a, _ = pallas_hydro.sweep_lrflux(
+                ub, phic, phif[a] if phic is not None else None,
+                dtodx[a], sim, a)
+            Ulc[a], Urc[a], etaP[a] = pallas_ctu_mid.transverse_correct(
+                Ulp_a, Urp_a, Fp, G, q, sim, grid, a, axes)
+        # Fp dies here (only the 1-field density fluxes survive)
+        ub2, uc = _jax.lax.optimization_barrier(
+            (ub, tuple(Ulc[a] for a in axes)))
+        Ulc = dict(zip(axes, uc))
+        etaS = (jnp.stack([etaP[a] for a in axes])
+                if sim.h_correction else None)
+        Fp2 = {a: pallas_ctu_mid.flux_corrected(Ulc[a], Urc[a], etaS,
+                                                sim, grid, a, axes)
+               for a in axes}
+        Sg = (pallas_ctu_mid.grav_source_pl(
+            ub2, {a: FpID[a][None] for a in axes}, Fp2, phic, phif, q,
+            dtodx, axes, grid) if phic is not None else None)
+        Uout = pallas_ctu_mid.final_update(ub2, Fp2, Sg, dtodx, sim,
+                                           grid, axes)
+        out = state.replace(U=Uout)
+        return (out, Fp2) if return_fluxes else out
 
     # === STEPS 1-3: per-axis L/R states + first-pass fluxes =================
     # (sweep variable order via leading-axis permutation only; shifts act on

@@ -29,18 +29,20 @@ def _shf(q, k, axis):
 
 
 def diff_dt(sim: SimConfig, grid: GridConfig, cour_no: float,
-            nu_iso=0.0, kappa_iso=0.0, eta_ohm=0.0) -> float:
-    """Explicit-diffusion CFL (diff_dt.c)."""
+            nu_iso=0.0, kappa_iso=0.0, eta_ohm=0.0, eta_ad_max=0.0,
+            nu_aniso=0.0, kappa_aniso=0.0) -> float:
+    """Explicit-diffusion CFL (diff_dt.c; iso+aniso coefficients summed,
+    ambipolar via its effective eta_AD = Q_AD*max(B^2) estimate)."""
     axes = [a for a in range(3) if grid.active(a)]
     dxmin = min(grid.dx[a] for a in axes)
     qa = cour_no * dxmin * dxmin / 2.0 / len(axes)
     dt = float("inf")
-    if kappa_iso > 0:
-        dt = min(dt, qa / kappa_iso)
-    if nu_iso > 0:
-        dt = min(dt, qa / nu_iso)
-    if eta_ohm > 0:
-        dt = min(dt, qa / eta_ohm)
+    if kappa_iso + kappa_aniso > 0:
+        dt = min(dt, qa / (kappa_iso + kappa_aniso))
+    if nu_iso + nu_aniso > 0:
+        dt = min(dt, qa / (nu_iso + nu_aniso))
+    if eta_ohm + eta_ad_max > 0:
+        dt = min(dt, qa / (eta_ohm + eta_ad_max))
     return dt
 
 
@@ -108,17 +110,24 @@ def conduction_iso(state: State, dt, sim: SimConfig, grid: GridConfig,
 
 def integrate_diff(state: State, dt, sim: SimConfig, grid: GridConfig,
                    nu_iso=0.0, kappa_iso=0.0, cooling_fn=None,
-                   eta_ohm=0.0) -> State:
+                   eta_ohm=0.0, q_ad=0.0, nu_aniso=0.0,
+                   kappa_aniso=0.0) -> State:
     """Operator-split diffusion update (integrate_diff, main.c:530-539).
     Sub-cycling to the diffusion CFL is handled by the caller clamping the
     hydro dt (new_dt also bounded by diff_dt)."""
-    if eta_ohm > 0.0 and sim.mhd:
+    if (eta_ohm > 0.0 or q_ad > 0.0) and sim.mhd:
         from .resistivity import resistivity
-        state = resistivity(state, dt, sim, grid, eta_ohm)
+        state = resistivity(state, dt, sim, grid, eta_ohm, q_ad=q_ad)
     if nu_iso > 0.0:
         state = viscosity_iso(state, dt, sim, grid, nu_iso)
+    if nu_aniso > 0.0 and sim.mhd:
+        from .aniso import viscosity_aniso
+        state = viscosity_aniso(state, dt, sim, grid, nu_aniso)
     if kappa_iso > 0.0 and sim.adiabatic:
         state = conduction_iso(state, dt, sim, grid, kappa_iso)
+    if kappa_aniso > 0.0 and sim.mhd and sim.adiabatic:
+        from .aniso import conduction_aniso
+        state = conduction_aniso(state, dt, sim, grid, kappa_aniso)
     if cooling_fn is not None and sim.adiabatic:
         U = state.U
         d = U[ID]

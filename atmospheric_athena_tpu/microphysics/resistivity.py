@@ -31,8 +31,12 @@ def _sh(q, k, axis):
 
 
 def resistivity(state: State, dt, sim: SimConfig, grid: GridConfig,
-                eta_ohm: float) -> State:
-    """One explicit Ohmic-diffusion step of (B1i,B2i,B3i,Bcc,E)."""
+                eta_ohm: float, q_ad: float = 0.0) -> State:
+    """One explicit resistive-diffusion step of (B1i,B2i,B3i,Bcc,E):
+    Ohmic EMF eta_O*J plus, with q_ad > 0, the ambipolar EMF
+    Q_AD*(J_perp) = Q_AD*(J - (J.B)B/B^2) with edge-interpolated J and B
+    (EField_AD, resistivity.c:714-880; constant Q_AD = the reference's
+    eta_AD/B^2 single-fluid coefficient)."""
     assert sim.mhd, "resistivity requires MHD"
     B1i, B2i, B3i = state.B1i, state.B2i, state.B3i
     Bcc = state.Bcc
@@ -51,6 +55,42 @@ def resistivity(state: State, dt, sim: SimConfig, grid: GridConfig,
     ex = eta_ohm * Jx
     ey = eta_ohm * Jy
     ez = eta_ohm * Jz
+
+    if q_ad > 0.0:
+        from ..defs import TINY_NUMBER
+        J = [Jx, Jy, Jz]
+        Bi = [B1i, B2i, B3i]
+
+        def avm(q, a):      # 0.5*(q + q[-1_a])
+            return 0.5 * (q + _sh(q, -1, a)) if act[a] else q
+
+        def avp(q, a):      # 0.5*(q + q[+1_a])
+            return 0.5 * (q + _sh(q, 1, a)) if act[a] else q
+
+        emf_ad = []
+        for a in range(3):
+            b, c = (a + 1) % 3, (a + 2) % 3
+            # a-edge (at the b-,c- corner): J_a aligned; J_b/J_c
+            # 4-point averages (+1_a, -1_c / -1_b); B_a 4-cell average,
+            # B_b/B_c interface fields averaged across the other
+            # transverse axis (EField_AD 3D block)
+            iJ = [None] * 3
+            iJ[a] = J[a]
+            # J_b lives on the b-edge (integer b, half a/c): moving to
+            # the a-edge needs the (b, b-1) and (a, a+1) averages
+            iJ[b] = avp(avm(J[b], b), a)
+            iJ[c] = avp(avm(J[c], c), a)
+            iB = [None] * 3
+            iB[a] = avm(avm(Bcc[a], b), c)
+            iB[b] = avm(Bi[b], c)
+            iB[c] = avm(Bi[c], b)
+            Bsq = jnp.maximum(iB[0] ** 2 + iB[1] ** 2 + iB[2] ** 2,
+                              TINY_NUMBER)
+            JdotB = iJ[0] * iB[0] + iJ[1] * iB[1] + iJ[2] * iB[2]
+            emf_ad.append(q_ad * (J[a] - JdotB * iB[a] / Bsq))
+        ex = ex + emf_ad[0]
+        ey = ey + emf_ad[1]
+        ez = ez + emf_ad[2]
 
     U = state.U
     if sim.adiabatic:

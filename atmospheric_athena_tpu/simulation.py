@@ -189,13 +189,26 @@ class Simulation:
         nu_iso = self.par.getd_def("problem", "nu_iso", 0.0)
         kappa_iso = self.par.getd_def("problem", "kappa_iso", 0.0)
         eta_ohm = self.par.getd_def("problem", "eta_O", 0.0)
+        q_ad = self.par.getd_def("problem", "Q_AD", 0.0)
+        nu_aniso = self.par.getd_def("problem", "nu_aniso", 0.0)
+        kappa_aniso = self.par.getd_def("problem", "kappa_aniso", 0.0)
         cooling_fn = getattr(problem, "cooling_fn", None)
         has_diff = (nu_iso > 0.0 or kappa_iso > 0.0 or eta_ohm > 0.0
+                    or q_ad > 0.0 or nu_aniso > 0.0 or kappa_aniso > 0.0
                     or cooling_fn is not None)
         if has_diff:
             from .microphysics import diff_dt as diff_dt_fn, integrate_diff
+            eta_ad_max = 0.0
+            if q_ad > 0.0:
+                # effective ambipolar eta = Q_AD*B^2: bound with the
+                # initial field's maximum (get_eta.c analogue)
+                eta_ad_max = q_ad * float(jnp.max(
+                    self.state.Bcc[0] ** 2 + self.state.Bcc[1] ** 2
+                    + self.state.Bcc[2] ** 2))
             dt_diff = diff_dt_fn(sim, grid, cour_no, nu_iso, kappa_iso,
-                                 eta_ohm)
+                                 eta_ohm, eta_ad_max=eta_ad_max,
+                                 nu_aniso=nu_aniso,
+                                 kappa_aniso=kappa_aniso)
 
         selfg_pars = None
         if sim.self_gravity:
@@ -240,7 +253,9 @@ class Simulation:
                 dt = jnp.minimum(dt, dt_diff)
                 state = integrate_diff(state, dt, sim, grid, nu_iso,
                                        kappa_iso, cooling_fn,
-                                       eta_ohm=eta_ohm)
+                                       eta_ohm=eta_ohm, q_ad=q_ad,
+                                       nu_aniso=nu_aniso,
+                                       kappa_aniso=kappa_aniso)
                 state = bvals.apply_bc(state, grid, sim, problem)
 
             # radiation BEFORE hydro — it may shrink dt (main.c:541-556;

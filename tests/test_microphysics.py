@@ -137,3 +137,141 @@ def test_ohmic_resistivity_decay_rate():
     keff2 = (2 - 2 * np.cos(k * dx)) / dx ** 2
     expected = 1 - dt * eta * keff2
     np.testing.assert_allclose(ratio, expected, rtol=1e-8)
+
+
+def test_ambipolar_decay_rate():
+    """Ambipolar diffusion of a small transverse perturbation B3 =
+    b sin(kx) on a strong uniform B1 = B0: J is perpendicular to B at
+    leading order, so the decay matches Ohmic with eta_eff = Q_AD*B0^2
+    (EField_AD, resistivity.c:714-880).  2D so the >=2D edge averages
+    run."""
+    import jax.numpy as jnp
+    import numpy as np
+    from atmospheric_athena_tpu import state as state_mod
+    from atmospheric_athena_tpu.config import GridConfig, SimConfig
+    from atmospheric_athena_tpu.microphysics.resistivity import resistivity
+
+    sim = SimConfig(gas="mhd", nscalars=0)
+    N = 64
+    grid = GridConfig(Nx=(N, 8, 1), xmin=(0, 0, 0), xmax=(1, 0.125, 1))
+    st = state_mod.zeros(sim, grid)
+    shape = grid.padded_shape()
+    x_c = np.asarray(grid.cc_coords(0))
+    k = 2 * np.pi
+    B0, b = 1.0, 1e-6
+    B3 = jnp.asarray(b * np.sin(k * x_c))
+    st = st.replace(
+        U=st.U.at[0].set(1.0).at[4].set(1.0),
+        B1i=jnp.full(shape, B0), B2i=jnp.zeros(shape),
+        B3i=jnp.broadcast_to(B3, shape),
+        Bcc=st.Bcc.at[0].set(B0).at[2].set(jnp.broadcast_to(B3, shape)))
+    q_ad, dt = 0.01, 1e-4
+    out = resistivity(st, dt, sim, grid, 0.0, q_ad=q_ad)
+    sl = grid.interior()
+    b_old = np.asarray(st.B3i[sl])
+    b_new = np.asarray(out.B3i[sl])
+    mask = np.abs(b_old) > b * 1e-3
+    ratio = (b_new[mask] / b_old[mask])
+    dx = grid.dx[0]
+    keff2 = (2 - 2 * np.cos(k * dx)) / dx ** 2
+    expected = 1 - dt * (q_ad * B0 ** 2) * keff2
+    np.testing.assert_allclose(ratio, expected, rtol=1e-4)
+
+
+def test_aniso_conduction_field_aligned():
+    """Anisotropic conduction only transports heat ALONG B: with
+    T = T0 + t1 sin(kx), kappa_aniso diffuses it when B = x-hat
+    (parallel) and does nothing when B = y-hat (perpendicular)
+    (HeatFlux_aniso, conduction.c:219-330)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from atmospheric_athena_tpu import state as state_mod
+    from atmospheric_athena_tpu.config import GridConfig, SimConfig
+    from atmospheric_athena_tpu.microphysics.aniso import conduction_aniso
+
+    sim = SimConfig(gas="mhd", nscalars=0)
+    N = 64
+    grid = GridConfig(Nx=(N, 8, 1), xmin=(0, 0, 0), xmax=(1, 0.125, 1))
+    x_c = np.asarray(grid.cc_coords(0))
+    k = 2 * np.pi
+    e0, e1 = 1.0, 1e-3
+
+    def mkstate(Bdir):
+        st = state_mod.zeros(sim, grid)
+        shape = grid.padded_shape()
+        Eth = jnp.broadcast_to(jnp.asarray(e0 + e1 * np.sin(k * x_c)),
+                               shape)
+        B = [jnp.zeros(shape)] * 3
+        B[Bdir] = jnp.full(shape, 1.0)
+        me = 0.5
+        return st.replace(
+            U=st.U.at[0].set(1.0).at[4].set(Eth + me),
+            B1i=B[0], B2i=B[1], B3i=B[2],
+            Bcc=st.Bcc.at[Bdir].set(1.0))
+
+    kappa, dt = 0.01, 1e-4
+    sl = grid.interior()
+    # parallel: decays like iso conduction of T = Gamma_1*Eth
+    st = mkstate(0)
+    out = conduction_aniso(st, dt, sim, grid, kappa)
+    dE = np.asarray(out.U[4][sl] - st.U[4][sl])
+    # dT/dt = kappa d2T/dx2 with T = Gamma_1*e_sp -> dE = dt*kappa*
+    # Gamma_1*d2(Eth)/dx2
+    dx = grid.dx[0]
+    keff2 = (2 - 2 * np.cos(k * dx)) / dx ** 2
+    expected = -dt * kappa * (sim.gamma - 1.0) * keff2 * np.asarray(
+        st.U[4][sl] - 0.5 - e0)
+    np.testing.assert_allclose(dE, expected, atol=1e-12 + 1e-4 *
+                               np.abs(expected).max())
+    # perpendicular: no transport
+    st = mkstate(1)
+    out = conduction_aniso(st, dt, sim, grid, kappa)
+    dE = np.asarray(out.U[4][sl] - st.U[4][sl])
+    assert np.abs(dE).max() < 1e-14
+
+
+def test_braginskii_field_aligned_shear():
+    """Braginskii viscosity has NO effect on a shear flow perpendicular
+    to B (Vy(x), B = x-hat: bb:grad V = 0), unlike isotropic viscosity;
+    a compressive flow ALONG B (Vx(x)) diffuses with effective
+    coefficient (4/3) nu (ViscStress_aniso)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from atmospheric_athena_tpu import state as state_mod
+    from atmospheric_athena_tpu.config import GridConfig, SimConfig
+    from atmospheric_athena_tpu.microphysics.aniso import viscosity_aniso
+
+    sim = SimConfig(gas="mhd", nscalars=0)
+    N = 64
+    grid = GridConfig(Nx=(N, 8, 1), xmin=(0, 0, 0), xmax=(1, 0.125, 1))
+    x_c = np.asarray(grid.cc_coords(0))
+    k = 2 * np.pi
+    v1 = 1e-3
+
+    def mkstate(comp):
+        st = state_mod.zeros(sim, grid)
+        shape = grid.padded_shape()
+        M = jnp.broadcast_to(jnp.asarray(v1 * np.sin(k * x_c)), shape)
+        U = st.U.at[0].set(1.0).at[4].set(10.0)
+        U = U.at[1 + comp].set(M)
+        return st.replace(U=U, B1i=jnp.full(shape, 1.0),
+                          Bcc=st.Bcc.at[0].set(1.0))
+
+    nu, dt = 0.01, 1e-4
+    sl = grid.interior()
+    # perpendicular shear: no Braginskii momentum diffusion
+    st = mkstate(1)
+    out = viscosity_aniso(st, dt, sim, grid, nu)
+    dM = np.asarray(out.U[2][sl] - st.U[2][sl])
+    assert np.abs(dM).max() < 1e-14, np.abs(dM).max()
+    # parallel compression: decays at ~ (4/3) nu k^2 (continuum)
+    st = mkstate(0)
+    out = viscosity_aniso(st, dt, sim, grid, nu)
+    M_old = np.asarray(st.U[1][sl])
+    M_new = np.asarray(out.U[1][sl])
+    mask = np.abs(M_old) > v1 * 1e-2
+    ratio = M_new[mask] / M_old[mask]
+    dx = grid.dx[0]
+    keff2 = (2 - 2 * np.cos(k * dx)) / dx ** 2
+    expected = 1 - dt * (4.0 / 3.0) * nu * keff2
+    np.testing.assert_allclose(ratio, expected, rtol=2e-3)
