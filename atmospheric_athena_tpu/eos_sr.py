@@ -81,6 +81,49 @@ def sr_cons1d_to_prim1d(U, sim: SimConfig):
     return jnp.stack([d, Vx, Vy, Vz, P])
 
 
+def sr_check_prim1d(U, sim: SimConfig):
+    """check_Prim1D, SR hydro (convert_var.c check_Prim path): the same
+    quartic inversion WITHOUT the velocity clamp, so unphysical cells
+    surface for the FOFC tests (integrate_3d_vl_sr.c Step 15).
+
+    Returns (d, vsq, P); test failure as ~(d>0) | ~(P>0) | (vsq>=1)
+    (the negated comparisons also catch the NaNs a v>1 root produces)."""
+    D, Mx, My, Mz, E = U[0], U[1], U[2], U[3], U[4]
+    g, g1 = sim.gamma, sim.gamma_1
+    Msq = Mx ** 2 + My ** 2 + Mz ** 2
+    M = jnp.sqrt(Msq)
+    small = jnp.abs(M) < TINY_NUMBER
+    Msafe = jnp.where(small, 1.0, M)
+    ME = Msafe * E
+    Dsq = D ** 2
+    g1sq = g1 ** 2
+    denom = 1.0 / (g1sq * (Msq + Dsq))
+    a3 = (-2.0 * g * g1 * ME) * denom
+    a2 = (g ** 2 * E ** 2 + 2.0 * g1 * Msq - g1sq * Dsq) * denom
+    a1 = (-2.0 * g * ME) * denom
+    a0 = Msq * denom
+    i1 = -a2
+    i2 = a3 * a1 - 4.0 * a0
+    i3 = 4.0 * a2 * a0 - a1 ** 2 - a3 ** 2 * a0
+    iR = (9.0 * i1 * i2 - 27.0 * i3 - 2.0 * i1 ** 3) / 54.0
+    iS = (3.0 * i2 - a2 ** 2) / 9.0
+    iT = iR ** 2 + iS ** 2 * iS
+    sT = jnp.sqrt(jnp.abs(iT))
+    ix_neg = 2.0 * jnp.cbrt(jnp.sqrt(iR * iR + iT * (iT < 0))) * \
+        jnp.cos(jnp.arctan2(sT, iR) / 3.0) - i1 / 3.0
+    ix_pos = jnp.cbrt(iR + sT) + jnp.cbrt(iR - sT) - i1 / 3.0
+    ix1 = jnp.where(iT < 0.0, ix_neg, ix_pos)
+    iB = 0.5 * (a3 + jnp.sqrt(jnp.maximum(a3 ** 2 - 4.0 * a2 + 4.0 * ix1,
+                                          0.0)))
+    iC = 0.5 * (ix1 - jnp.sqrt(jnp.maximum(ix1 ** 2 - 4.0 * a0, 0.0)))
+    v = 0.5 * (-iB + jnp.sqrt(jnp.maximum(iB ** 2 - 4.0 * iC, 0.0)))
+    v = jnp.where(small, 0.0, v)          # NO [0, 1) clamp here
+    vOverM = jnp.where(small, 0.0, v / Msafe)
+    d = jnp.sqrt(jnp.abs(1.0 - v ** 2)) * jnp.sign(1.0 - v ** 2) * D
+    P = g1 * ((E - Msq * vOverM) - d)
+    return d, v ** 2, P
+
+
 # ===========================================================================
 # SR MHD (convert_var.c SPECIAL_RELATIVITY && MHD sections)
 #

@@ -71,8 +71,6 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
         # variable conversions; SR MHD (CT + Noble inversion in 3D) pending
         assert not sim.mhd, "3D VL-SR MHD pending"
         assert sim.nscalars == 0, "scalars pending in SR"
-        assert not sim.first_order_flux_correction, \
-            "SR FOFC fixes (entropy/vsq) pending in 3D"
         from ..eos_sr import sr_cons1d_to_prim1d, sr_prim1d_to_cons1d
         from .sweep import var_perm
         # convert ONCE in physical order (the reference computes W per
@@ -217,20 +215,27 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
 
     # === STEP 14: first-order flux correction ===============================
     if sim.first_order_flux_correction:
-        if sim.mhd:
-            Bt = face_update(emfC)
-            Bcc_test = jnp.stack([0.5 * (Bt[a] + _shf(Bt[a], 1, a))
-                                  for a in axes])
-        dn = Unew[ID]
-        ke = 0.5 * (Unew[IM1] ** 2 + Unew[IM1 + 1] ** 2 +
-                    Unew[IM1 + 2] ** 2) / dn
-        if sim.adiabatic:
-            P = Unew[IEN] - ke
-            if sim.mhd:
-                P = P - 0.5 * (Bcc_test ** 2).sum(0)
-            bad = (dn < 0.0) | (P < 0.0)
+        if sr:
+            # SR failure test via check_Prim: unphysical inversion
+            # (d<=0, P<=0 or v>=1), integrate_3d_vl_sr.c Step 15
+            from ..eos_sr import sr_check_prim1d
+            dch, vsqch, Pch = sr_check_prim1d(Unew, sim)
+            bad = (~(dch > 0.0)) | (~(Pch > 0.0)) | (vsqch >= 1.0)
         else:
-            bad = dn < 0.0
+            if sim.mhd:
+                Bt = face_update(emfC)
+                Bcc_test = jnp.stack([0.5 * (Bt[a] + _shf(Bt[a], 1, a))
+                                      for a in axes])
+            dn = Unew[ID]
+            ke = 0.5 * (Unew[IM1] ** 2 + Unew[IM1 + 1] ** 2 +
+                        Unew[IM1 + 2] ** 2) / dn
+            if sim.adiabatic:
+                P = Unew[IEN] - ke
+                if sim.mhd:
+                    P = P - 0.5 * (Bcc_test ** 2).sum(0)
+                bad = (dn < 0.0) | (P < 0.0)
+            else:
+                bad = dn < 0.0
 
         def fix(args):
             Unew, emf_use = args
@@ -257,6 +262,31 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             Unew = jax.lax.cond(jnp.any(bad),
                                 lambda x: fix((x, None))[0],
                                 lambda x: x, Unew)
+
+        if sr:
+            # Step 15b: cells still unphysical after the first-order
+            # redo get the vsq fix (floor state + secant closure on v^2;
+            # fix_vsq/vsq1D_fix with B = 0 for hydro).  The optional
+            # USE_ENTROPY_FIX intermediate stage (advected entropy) is
+            # not implemented.
+            from ..eos_sr import (sr_check_prim1d, sr_mhd_vsq1d_fix,
+                                  sr_prim1d_to_cons1d as _w2u)
+
+            def vfix(Uin):
+                dch2, vsq2, Pch2 = sr_check_prim1d(Uin, sim)
+                bad2 = (~(dch2 > 0.0)) | (~(Pch2 > 0.0)) | (vsq2 >= 1.0)
+
+                def apply(Uin):
+                    z = jnp.zeros_like(Uin[0])
+                    U7 = jnp.concatenate([Uin[:5], z[None], z[None]], 0)
+                    Wf = sr_mhd_vsq1d_fix(U7, z, sim)
+                    Uf = _w2u(Wf[:5], sim)
+                    return jnp.where(bad2[None], Uf, Uin)
+
+                return jax.lax.cond(jnp.any(bad2), apply,
+                                    lambda x: x, Uin)
+
+            Unew = vfix(Unew)
 
     sl = (slice(None),) + grid.interior()
     Uout = U.at[sl].set(Unew[sl])

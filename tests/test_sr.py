@@ -90,3 +90,44 @@ def test_sr_3d_vl_blast_10cycles():
         scale = np.abs(r).max()
         np.testing.assert_allclose(m, r, rtol=0, atol=1e-5 * scale,
                                    err_msg=nm)
+
+
+def test_sr_fofc_vsq_fix():
+    """SR FOFC machinery (integrate_3d_vl_sr.c Step 15): (a) with no
+    failing cells the FOFC build is identical to the plain one; (b) a
+    manufactured unphysical cell (E too small for |M|: v >= 1 in the
+    inversion) is restored to a physical state by the vsq fix."""
+    import jax.numpy as jnp
+    from atmospheric_athena_tpu.eos_sr import (sr_check_prim1d,
+                                               sr_mhd_vsq1d_fix,
+                                               sr_prim1d_to_cons1d)
+    from atmospheric_athena_tpu.config import SimConfig
+
+    sim = SimConfig(gas="hydro", special_relativity=True,
+                    integrator="vl", order="2p", flux="hllc",
+                    first_order_flux_correction=True)
+    # (b) unphysical cell: |M| > E makes the quartic root v >= 1
+    U = jnp.asarray([[1.0], [5.0], [0.0], [0.0], [2.0]])
+    d, vsq, P = sr_check_prim1d(U, sim)
+    assert (~(d > 0) | ~(P > 0) | (vsq >= 1.0)).item()
+    z = jnp.zeros_like(U[0])
+    U7 = jnp.concatenate([U[:5], z[None], z[None]], 0)
+    Wf = sr_mhd_vsq1d_fix(U7, z, sim)
+    Uf = sr_prim1d_to_cons1d(Wf[:5], sim)
+    d2, vsq2, P2 = sr_check_prim1d(Uf, sim)
+    assert (d2 > 0).item() and (P2 > 0).item() and (vsq2 < 1.0).item()
+
+    # (a) healthy field: FOFC build bitwise-matches the plain build
+    import numpy as np
+    from atmospheric_athena_tpu import ParameterDB, Simulation
+    deck = open(os.path.join(GOLD, "athinput.srblast3d")).read()
+    s0 = Simulation.from_par(ParameterDB.from_string(deck),
+                             problem="blast")
+    s1 = Simulation.from_par(ParameterDB.from_string(deck),
+                             problem="blast",
+                             first_order_flux_correction=True)
+    for _ in range(3):
+        s0.step()
+        s1.step()
+    np.testing.assert_array_equal(np.asarray(s0.state.U),
+                                  np.asarray(s1.state.U))
