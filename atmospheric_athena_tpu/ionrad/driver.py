@@ -323,7 +323,8 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
     e_init = E0
     d_nlim = _d_nlim(d, ion)
 
-    direction, flux_i = ion.radplanes[0]
+    direction, flux_i = (ion.radplanes[0] if ion.radplanes
+                         else (-1, 0.0))
     n_planes = len(ion.radplanes)
 
     # distributed sweep: with the sweep (x) axis sharded over the device
@@ -373,6 +374,17 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
             else:
                 kph, eflux = get_ph_rate_plane(s0, inflow, dirn, grid, ion)
             kph_tot = kph_tot + kph
+        # point sources (ionradpoint_3d.c analogue): dense HEALPix ray
+        # fan, gather/scan/scatter — see ionrad/point.py
+        for src_pos, ndot in ion.point_sources:
+            from .point import point_source_kph
+            kph_tot = kph_tot + point_source_kph(s0, src_pos, ndot,
+                                                 grid, ion)
+        if eflux is None:
+            ax0 = abs(direction) - 1
+            shp = list(s0.shape)
+            shp[2 - ax0] += 1
+            eflux = jnp.zeros(shp, s0.dtype)
         return kph_tot, eflux
 
     if sim.mhd:

@@ -1,0 +1,132 @@
+"""Point-source ionizing radiation (ionrad/point.py vs
+src/ionradiation/ionradpoint_3d.c): photon conservation of the HEALPix
+ray fan and the classic Stromgren-sphere equilibrium radius."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from atmospheric_athena_tpu import state as state_mod
+from atmospheric_athena_tpu.config import GridConfig, SimConfig
+from atmospheric_athena_tpu.ionrad.config import IonConfig
+from atmospheric_athena_tpu.ionrad.point import (healpix_ring_vectors,
+                                                 point_source_kph)
+
+SIGMA = 6.3e-18
+MH = 1.67e-24
+ALPHA = 2.59e-13          # case-B at 1e4 K (recomb_rate_coef(1e4))
+
+
+def _ion(grid, tfloor=1.0e4, tceil=1.0e4):
+    dx = grid.dx
+    return IonConfig(
+        sigma_ph=SIGMA, m_H=MH, mu=MH, e_gamma=0.0, alpha_C=0.0,
+        k_B=1.380658e-16, time_unit=1.0,
+        max_de_iter=0.1, max_de_therm_iter=0.1, max_dx_iter=0.1,
+        max_de_step=0.0, max_de_therm_step=0.0, max_dx_step=0.0,
+        tfloor=tfloor, tceil=tceil, maxiter=200,
+        min_area=dx[0] * dx[1], d_nlo=1e-10 * MH)
+
+
+def test_healpix_vectors_uniform():
+    """RING pixel centers are unit vectors with near-uniform coverage
+    (first moments vanish; chealpix pix2vec_ring analogue)."""
+    for nside in (2, 4, 8):
+        v = healpix_ring_vectors(nside)
+        assert v.shape == (12 * nside * nside, 3)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0,
+                                   rtol=1e-12)
+        assert np.abs(v.mean(axis=0)).max() < 1e-12
+        # second moment of a uniform sphere: diag(1/3); the moment
+        # error shrinks ~nside^-2 (0.008 at nside=2)
+        np.testing.assert_allclose((v[:, None, :] * v[:, :, None]
+                                    ).mean(0), np.eye(3) / 3.0,
+                                   atol=0.04 / nside ** 2)
+
+
+def test_point_source_photon_conservation():
+    """sum(kph * n_H * V) = ndot for an optically thick uniform medium
+    (the reference's flux-differencing conserves photons the same way,
+    ionradplane_3d.c:278-308 pattern)."""
+    N = 32
+    L = 1.0e19
+    grid = GridConfig(Nx=(N, N, N), xmin=(0, 0, 0), xmax=(L, L, L))
+    ion = _ion(grid)
+    nH = 1.0e3                      # tau across one cell ~ 2
+    s0 = jnp.full((N, N, N), nH * MH)
+    src = (L / 2, L / 2, L / 2)
+    ndot = 1.0e48
+    kph = point_source_kph(s0, src, ndot, grid, ion)
+    Vc = np.prod([grid.dx[a] for a in range(3)])
+    absorbed = float((kph * (s0 / MH)).sum()) * Vc
+    assert absorbed == pytest.approx(ndot, rel=1e-3)
+
+
+@pytest.mark.slow
+def test_point_source_analytic_attenuation():
+    """Shell-averaged kph matches the analytic point-source field
+    sigma*Q*exp(-tau(r))/(4 pi r^2) on a uniform partially-neutral
+    medium (the quantity ionradpoint_3d.c's ray trees compute per cell,
+    KSG07 eq. 9)."""
+    N = 40
+    L = 1.0e19
+    grid = GridConfig(Nx=(N, N, N), xmin=(0, 0, 0), xmax=(L, L, L))
+    ion = _ion(grid)
+    nH_n = 0.03                       # tau(L/2) ~ 0.95
+    s0 = jnp.full((N, N, N), nH_n * MH)
+    src = (L / 2, L / 2, L / 2)
+    Q = 1.0e48
+    kph = np.asarray(point_source_kph(s0, src, Q, grid, ion))
+
+    cc = [np.asarray(grid.cc_coords(a))[grid.lo(a):grid.hi(a) + 1]
+          for a in range(3)]
+    r = np.sqrt((cc[0][None, None, :] - src[0]) ** 2
+                + (cc[1][None, :, None] - src[1]) ** 2
+                + (cc[2][:, None, None] - src[2]) ** 2)
+    dx = grid.dx[0]
+    ana = SIGMA * Q * np.exp(-SIGMA * nH_n * r) / (4 * np.pi * r ** 2)
+    # shell averages between 4 dx and 0.45 L (inside the ray fan's
+    # fully-covered sphere)
+    for r0 in np.linspace(4 * dx, 0.45 * L, 8):
+        m = (r > r0 - dx) & (r < r0 + dx)
+        ratio = kph[m].mean() / ana[m].mean()
+        assert ratio == pytest.approx(1.0, rel=0.06), (r0 / dx, ratio)
+
+
+@pytest.mark.slow
+def test_point_source_driver_ionizes():
+    """The sub-cycled driver with a point source grows an ionized
+    bubble around the source (an R-type front), leaving the far field
+    neutral — the ionradpoint integration path end-to-end."""
+    from atmospheric_athena_tpu.ionrad.driver import ion_radtransfer
+    import dataclasses
+
+    N = 32
+    L = 1.0e19
+    nH = 100.0
+    Q = 1.0e48
+    sim = SimConfig(gas="hydro", nscalars=1, ion_radplane=True)
+    grid = GridConfig(Nx=(N, N, N), xmin=(0, 0, 0), xmax=(L, L, L))
+    ion = dataclasses.replace(
+        _ion(grid), point_sources=(((L / 2, L / 2, L / 2), Q),),
+        maxiter=300)
+    st = state_mod.zeros(sim, grid)
+    d = nH * MH
+    e_sp = 1.0e4 * 1.380658e-16 / (MH * (sim.gamma - 1.0))
+    # small ionized seed: a fully-neutral gas has n_e = 0 and the
+    # chemistry dt limiter collapses (the production problems seed x
+    # via IONFRACFLOOR/alpha_C the same way)
+    U = st.U.at[0].set(d).at[4].set(d * e_sp).at[5].set(0.999 * d)
+    t_rec = 1.0 / (ALPHA * nH)
+    st = st.replace(U=U, dt=jnp.asarray(0.1 * t_rec))
+    for _ in range(3):
+        st, _ = ion_radtransfer(st, sim, grid, ion, st.time, 1.0e30)
+
+    sl = grid.interior()
+    x = np.asarray((d - st.U[5][sl]) / d)
+    c = N // 2
+    assert x[c, c, c] > 0.9, x[c, c, c]            # source cell ionized
+    assert x[0, 0, 0] < 0.05, x[0, 0, 0]           # corner still neutral
+    # ionized volume is a connected blob around the centre
+    assert (x > 0.5).sum() >= 8

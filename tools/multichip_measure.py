@@ -51,6 +51,7 @@ out = {"devices": len(jax.devices()), "n": N,
                 "and equivalence are exact, timings bound plumbing "
                 "overhead only (no ICI on this host)" % os.cpu_count())}
 par = ParameterDB.from_string(_ISPH_DECK.format(n=N))
+par.set("ionradiation", "maxiter", 50)   # bound the CPU-mesh workload
 s = Simulation.from_par(par, problem="ioniz_sphere", dtype="float32")
 fn = s._build_step().__wrapped__
 aux = s._step_aux
