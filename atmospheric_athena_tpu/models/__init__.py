@@ -28,7 +28,7 @@ def register(name):
 
 _BUILTIN = ("shkset1d", "linear_wave", "blast", "ifront", "ioniz_sphere", "jeans",
             "shkset2d", "shkset3d", "kh", "rt", "orszag_tang", "cpaw",
-            "field_loop", "hgb", "cylblast", "cylwindrot")
+            "field_loop", "hgb", "cylblast", "cylwindrot", "turb")
 
 
 def get_problem(name: str):
