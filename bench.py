@@ -72,16 +72,20 @@ def main():
     state = s.state
 
     # --- component: hydro-only, with cost-analysis roofline ---------------
-    hyd = jax.jit(lambda st: ctu3d.step(st, st.dt, s.sim, s.grid,
-                                        s.problem))
-    out = hyd(state)
+    # (phi as a jit ARGUMENT: as a trace-time constant the potential
+    # fields blow past the remote-compile payload limit)
+    from atmospheric_athena_tpu.integrators.ctu3d import _phi_arrays
+    phi = _phi_arrays(s.problem, s.grid, state.U.dtype)
+    hyd = jax.jit(lambda st, phi: ctu3d.step(st, st.dt, s.sim, s.grid,
+                                             s.problem, phi=phi))
+    out = hyd(state, phi)
     float(jnp.sum(out.U[0, 8]))
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        out = hyd(state)
+        out = hyd(state, phi)
     float(jnp.sum(out.U[0, 8]))
     hydro_s = (time.perf_counter() - t0) / STEPS
-    ca = hyd.lower(state).compile().cost_analysis()
+    ca = hyd.lower(state, phi).compile().cost_analysis()
     hydro_bytes = ca.get("bytes accessed", 0.0)
     hydro_bpc = hydro_bytes / N ** 3
     hydro_bw = hydro_bytes / hydro_s
