@@ -28,11 +28,15 @@ Physics implemented:
   - particle BCs: periodic wrap / outflow deactivation per axis from
     the grid's BC flags (bvals_particle.c semantics, serial).
 
-Deviations (documented): drag interpolates the CURRENT gas state rather
-than the reference's half-step GPCouple fields (2nd-order coupling
-detail); one integrator type for the whole population (the reference's
-per-type selector defaults to a single global <particle>/integrator
-anyway); FARGO orbital advection pending with the gas-side FARGO.
+Half-step gas coupling: the driver evaluates the drag against the
+average of the pre- and post-step gas states — the 2nd-order-accurate
+equivalent of the reference's predictor half-step GPCouple fields
+(integrate_3d_ctu.c stores Coup.grid_v at t^{n+1/2}; the average
+differs from the predictor value at O(dt^2) truncation only).
+Deviations (documented): one integrator type for the whole population
+(the reference's per-type selector defaults to a single global
+<particle>/integrator anyway); FARGO orbital advection pending with
+the gas-side FARGO.
 """
 
 from __future__ import annotations
@@ -354,10 +358,16 @@ def apply_bc(grid: GridConfig, x, alive):
 
 
 def integrate(pts: Particles, state, dt, sim: SimConfig, grid: GridConfig,
-              pp: ParticleParams, problem=None):
+              pp: ParticleParams, problem=None, drag_state=None):
     """Integrate_Particles (integrators_particle.c:75-188), vectorized.
-    Returns (new particles, gas momentum feedback or None)."""
-    dv, ts = _advance_dv(state, sim, grid, pp, pts, dt, problem)
+    Returns (new particles, gas momentum feedback or None).
+
+    drag_state: gas state to interpolate for the drag force — the
+    driver passes the old/new average, the 2nd-order equivalent of the
+    reference's predictor half-step GPCouple fields (feedback.c /
+    integrate_3d's Coup.grid_v at t^{n+1/2})."""
+    gs = drag_state if drag_state is not None else state
+    dv, ts = _advance_dv(gs, sim, grid, pp, pts, dt, problem)
     vnew = jnp.stack([pts.v[c] + dv[c] for c in range(3)])
     xnew = jnp.stack([
         pts.x[a] + 0.5 * dt * (pts.v[a] + vnew[a]) if grid.active(a)

@@ -316,17 +316,22 @@ class Simulation:
         if self._jit_step is None:
             self._jit_step = self._build_step()
         t_before = self.state.time
+        state_before = self.state if self.particles is not None else None
         self.state = self._jit_step(self.state, self._step_aux)
         if self.particles is not None:
             if self._jit_pstep is None:
                 from . import particles as particles_mod
 
-                def pstep(pts, state, dt):
-                    # gas already advanced; particles use the updated
-                    # state over the SAME dt the gas step consumed
+                def pstep(pts, state, state_old, dt):
+                    # gas already advanced; drag interpolates the
+                    # old/new AVERAGE — the reference's half-step
+                    # GPCouple coupling to 2nd order
+                    half = state.replace(
+                        U=0.5 * (state.U + state_old.U))
                     new, fb = particles_mod.integrate(
                         pts, state, dt, self.sim, self.grid,
-                        self.par_params, self.problem)
+                        self.par_params, self.problem,
+                        drag_state=half)
                     if fb is not None:
                         U = state.U
                         for c in range(3):
@@ -336,7 +341,7 @@ class Simulation:
                 self._jit_pstep = jax.jit(pstep)
             dt_used = self.state.time - t_before
             self.particles, self.state = self._jit_pstep(
-                self.particles, self.state, dt_used)
+                self.particles, self.state, state_before, dt_used)
 
     # -------------------------------------------------------------------- run
 
