@@ -63,8 +63,9 @@ for l in s.levels:
     U = np.asarray(l.state.U[0][l.grid.interior()])
     finite &= bool(np.isfinite(np.asarray(l.state.U)).all())
     masses.append(float(U.sum() * np.prod([l.grid.dx[a] for a in range(3)])))
-out = dict(ncyc=NCYC, wall_after_first=wall,
-           zc_per_s=zones * (NCYC - 1) / wall if wall > 0 else None,
+ncyc_done = len(rows) + 1
+out = dict(ncyc=ncyc_done, wall_after_first=wall,
+           zc_per_s=zones * len(rows) / wall if wall > 0 else None,
            time=float(s.state.time), dt=float(s.state.dt),
            finite=finite, level_masses=masses,
            levels=[list(l.grid.Nx) for l in s.levels])
