@@ -41,27 +41,6 @@ class _Carry(NamedTuple):
     eflux: jax.Array
 
 
-class _CarryF(NamedTuple):
-    """Carry of the fused-kernel sub-cycle (pallas path): the chemistry
-    rate fields of the NEXT iteration ride the carry, so each loop body
-    is one kernel (update_k + rates_{k+1}); ef_prev holds the eflux of
-    the last COMPLETED iteration (the reference's final EdgeFlux)."""
-    E: jax.Array
-    s0: jax.Array
-    code: jax.Array
-    kph: jax.Array
-    nHdot: jax.Array
-    edot: jax.Array
-    dtc: jax.Array
-    dtt: jax.Array
-    ef_prev: tuple
-    ef_cur: tuple
-    dt_done: jax.Array
-    dt_new: jax.Array
-    niter: jax.Array
-    stop: jax.Array
-
-
 def _temp(E, s0, d, ke_be, sim, ion, di=None):
     """T, e_th, x — with one shared reciprocal di = 1/d feeding both the
     ionization fraction (x = n_e/(n_H+n_Hplus) with n_H+n_Hplus = d/m_H)
