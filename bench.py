@@ -73,34 +73,61 @@ def main():
 
     # --- component: hydro-only, with cost-analysis roofline ---------------
     # (phi as a jit ARGUMENT: as a trace-time constant the potential
-    # fields blow past the remote-compile payload limit)
+    # fields blow past the remote-compile payload limit.  Timed IN-LOOP:
+    # the axon tunnel adds ~2 ms of dispatch latency per standalone call)
     from atmospheric_athena_tpu.integrators.ctu3d import _phi_arrays
     phi = _phi_arrays(s.problem, s.grid, state.U.dtype)
-    hyd = jax.jit(lambda st, phi: ctu3d.step(st, st.dt, s.sim, s.grid,
-                                             s.problem, phi=phi))
-    out = hyd(state, phi)
+    NHYD = 10
+
+    @jax.jit
+    def hyd_loop(st, phi):
+        def body(i, st):
+            return ctu3d.step(st, st.dt, s.sim, s.grid, s.problem,
+                              phi=phi)
+        return jax.lax.fori_loop(0, NHYD, body, st)
+
+    out = hyd_loop(state, phi)
     float(jnp.sum(out.U[0, 8]))
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = hyd(state, phi)
+    out = hyd_loop(state, phi)
     float(jnp.sum(out.U[0, 8]))
-    hydro_s = (time.perf_counter() - t0) / STEPS
+    hydro_s = (time.perf_counter() - t0) / NHYD
+    hyd = jax.jit(lambda st, phi: ctu3d.step(st, st.dt, s.sim, s.grid,
+                                             s.problem, phi=phi))
     ca = hyd.lower(state, phi).compile().cost_analysis()
     hydro_bytes = ca.get("bytes accessed", 0.0)
     hydro_bpc = hydro_bytes / N ** 3
     hydro_bw = hydro_bytes / hydro_s
 
-    # --- component: radiation per-iteration (maxiter=50 sub-cycle) --------
+    # --- component: radiation per-iteration (maxiter=50 sub-cycle),
+    # timed in-loop for the same dispatch-latency reason ------------------
+    NRAD = 3
+
+    @jax.jit
+    def rad_loop(st):
+        def body(i, c):
+            st, acc = c
+            # 0.0*acc: value-identical but a real data dependency, so
+            # XLA cannot hoist the identical iterations out of the loop
+            st_in = st.replace(dt=st.dt + 0.0 * acc.astype(st.dt.dtype))
+            out, dtn, n = ion_radtransfer(
+                st_in, s.sim, s.grid, s.ion, st_in.time, s.cour_no,
+                return_niter=True)
+            return (st, acc + n)
+        return jax.lax.fori_loop(0, NRAD, body,
+                                 (st, jnp.zeros((), jnp.int32)))
+
     rad = jax.jit(lambda st: ion_radtransfer(
         st, s.sim, s.grid, s.ion, st.time, s.cour_no,
         return_niter=True))
     _, _, n50 = rad(state)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        r, _, n50 = rad(state)
-    float(jnp.sum(r.U[0]) + 0 * n50)
-    rad_s = (time.perf_counter() - t0) / 3
     n50 = int(n50)
+    _, acc = rad_loop(state)
+    int(acc)
+    t0 = time.perf_counter()
+    _, acc = rad_loop(state)
+    int(acc)
+    rad_s = (time.perf_counter() - t0) / NRAD
     rad_per_iter = rad_s / max(n50, 1)
 
     # --- the REAL first-step iteration count, unclamped -------------------
