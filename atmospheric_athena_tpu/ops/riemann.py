@@ -768,7 +768,8 @@ def fluxes(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
         table = ({"hlle": riemann_sr.hlle_sr_mhd,
                   "hlld": riemann_sr.hlld_sr} if sim.mhd else
                  {"hlle": riemann_sr.hlle_sr,
-                  "hllc": riemann_sr.hllc_sr})
+                  "hllc": riemann_sr.hllc_sr,
+                  "exact": riemann_sr.exact_sr})
         try:
             solver = table[sim.flux]
         except KeyError:

@@ -587,3 +587,308 @@ def hlld_sr(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
                       Fhll, inner)
     F = jnp.where(hll, Fhll, inner)
     return jnp.where(Sl >= 0.0, Fl, jnp.where(Sr <= 0.0, Fr, F))
+
+
+# ===========================================================================
+# Exact SR hydro solver (exact_sr.c; Rezzolla, Zanotti & Pons 2003 "RZP",
+# Pons, Marti & Mueller 2000)
+# ===========================================================================
+
+import numpy as np
+import jax
+
+_GL_X, _GL_W = np.polynomial.legendre.leggauss(10)
+_EPS32 = 2.0 ** -23        # the reference's runtime-derived float epsilon
+_JMAX = 40                 # exact_sr.c:43
+_PTOL = 1.0e-5             # getShockVars equal-pressure guard (exact_sr.c:343)
+
+
+class _SRSide:
+    """Per-side precomputed invariants of one initial state Wa."""
+
+    def __init__(self, W, g):
+        self.d, self.Vx, self.Vy, self.Vz, self.P = (W[i] for i in range(5))
+        g1 = g - 1.0
+        self.ha = 1.0 + g * self.P / (g1 * self.d)
+        vsq = self.Vx ** 2 + self.Vy ** 2 + self.Vz ** 2
+        self.Ga = 1.0 / jnp.sqrt(jnp.maximum(1.0 - vsq, 1.0e-30))
+        self.vt = jnp.sqrt(self.Vy ** 2 + self.Vz ** 2)
+        self.A = self.ha * self.Ga * self.vt          # hGv_t (RZP eq 3.23)
+        self.atanhVx = 0.5 * jnp.log((1.0 + self.Vx) / (1.0 - self.Vx))
+
+
+def _sr_adiabat(S, p, g):
+    """Density on the isentrope through Wa at pressure p."""
+    return S.d * (p / S.P) ** (1.0 / g)
+
+
+def _sr_raref_integral(S, p, g):
+    """integrateRaref (exact_sr.c:281-330): 10-point Gauss-Legendre of
+    RZP eq 3.22's integrand over [Wa.P, p] (signed)."""
+    g1 = g - 1.0
+    mid = 0.5 * (p + S.P)
+    half = 0.5 * (p - S.P)
+    acc = 0.0
+    for xi, wi in zip(_GL_X, _GL_W):
+        xx = half * float(xi) + mid
+        dd = _sr_adiabat(S, xx, g)
+        ccs2 = g * g1 * xx / (g * xx + g1 * dd)
+        hh = 1.0 + xx * g / (dd * g1)
+        f = (jnp.sqrt(hh * hh + S.A ** 2 * (1.0 - ccs2))
+             / (dd * jnp.sqrt(ccs2) * (hh * hh + S.A ** 2)))
+        acc = acc + half * float(wi) * f
+    return acc
+
+
+def _sr_shock_vars(S, Pb, sign, g):
+    """getShockVars (exact_sr.c:336-389): Taub-adiabat enthalpy behind the
+    shock, mass flux J and shock velocity v_s.  The reference aborts on an
+    unphysical enthalpy discriminant; here the sqrt is clamped (the value
+    is discarded by the rarefaction select whenever p <= Pa)."""
+    g1 = g - 1.0
+    A = 1.0 + g1 * (S.P - Pb) / (g * Pb)
+    B = 1.0 - A
+    C = S.ha * (S.P - Pb) / S.d - S.ha ** 2
+    disc = jnp.sqrt(jnp.maximum(B * B - 4.0 * A * C, 0.0))
+    hb = (-B + disc) / (2.0 * A)
+    db = g * Pb / (g1 * jnp.maximum(hb - 1.0, 1.0e-30))
+    den = S.ha / S.d - hb / db
+    J = sign * jnp.sqrt(jnp.maximum(
+        (Pb - S.P) / jnp.where(den == 0.0, 1.0, den), 0.0))
+    Aa = S.d ** 2 * S.Ga ** 2
+    vs = ((Aa * S.Vx + sign * jnp.abs(J)
+           * jnp.sqrt(jnp.maximum(J * J + Aa * (1.0 - S.Vx ** 2), 0.0)))
+          / (Aa + J * J))
+    eq = jnp.abs(S.P - Pb) <= _PTOL
+    return (jnp.where(eq, 0.0, J), jnp.where(eq, S.Vx, vs),
+            jnp.where(eq, S.d, db))
+
+
+def _sr_vb_shock(S, Pb, sign, g):
+    """getVb_Shock (exact_sr.c:632-652): normal velocity behind a shock."""
+    J, vs, _ = _sr_shock_vars(S, Pb, sign, g)
+    Gs = 1.0 / jnp.sqrt(jnp.maximum(1.0 - vs * vs, 1.0e-30))
+    Jn = jnp.where(J == 0.0, 1.0, J)
+    num = S.ha * S.Ga * S.Vx + Gs * (Pb - S.P) / Jn
+    dnm = (S.ha * S.Ga + (Pb - S.P)
+           * (Gs * S.Vx / Jn + 1.0 / (S.d * S.Ga)))
+    return jnp.where(J == 0.0, S.Vx, num / dnm)
+
+
+def _sr_vb_raref(S, p, sign, g):
+    """getVb_Raref (exact_sr.c:655-668): Riemann invariant across the fan."""
+    return jnp.tanh(S.atanhVx + sign * _sr_raref_integral(S, p, g))
+
+
+def _sr_vb(S, p, sign, g):
+    """Velocity behind the wave: shock iff p > Pa, rarefaction otherwise
+    (exactly the per-pattern choice the reference makes — within each
+    pattern's pressure bracket the comparison selects the same branch)."""
+    return jnp.where(p > S.P, _sr_vb_shock(S, p, sign, g),
+                     _sr_vb_raref(S, p, sign, g))
+
+
+def _sr_xi(S, p, vx, sign, g):
+    """getXi (exact_sr.c:671-700): self-similarity speed inside the fan
+    (RZP eq 3.15)."""
+    g1 = g - 1.0
+    dc = _sr_adiabat(S, p, g)
+    hc = 1.0 + g * p / (g1 * dc)
+    vtc = S.A * jnp.sqrt(jnp.maximum(
+        (1.0 - vx * vx) / (hc * hc + S.A ** 2), 0.0))
+    cs2 = g * g1 * p / (g1 * dc + g * p)
+    v2 = vx * vx + vtc * vtc
+    num = vx * (1.0 - cs2) + sign * jnp.sqrt(cs2) * jnp.sqrt(jnp.maximum(
+        (1.0 - v2) * (1.0 - v2 * cs2 - vx * vx * (1.0 - cs2)), 0.0))
+    return num / (1.0 - v2 * cs2)
+
+
+def _sr_velt_raref(S, p, vxb, g):
+    """getVelT_Raref (exact_sr.c:703-750): |v_t| behind the fan from the
+    invariant hGv_t, split proportionally to (Vy, Vz) — the reference's
+    three sign cases are exactly this split."""
+    g1 = g - 1.0
+    db = _sr_adiabat(S, p, g)
+    hb = 1.0 + g * p / (g1 * db)
+    vbt = S.A * jnp.sqrt(jnp.maximum(
+        (1.0 - vxb * vxb) / (hb * hb + S.A ** 2), 0.0))
+    vt = jnp.maximum(S.vt, 1.0e-30)
+    return vbt * S.Vy / vt, vbt * S.Vz / vt
+
+
+def _sr_velt_shock(S, p, vxb, g):
+    """getVelT_Shock (exact_sr.c:753-791): per-component form (NOT the
+    proportional split; uses the adiabatic density behind the wave like
+    the reference does)."""
+    g1 = g - 1.0
+    Ay = S.ha * S.Ga * S.Vy
+    Az = S.ha * S.Ga * S.Vz
+    db = _sr_adiabat(S, p, g)
+    hb = 1.0 + g * p / (g1 * db)
+    Cy = Ay * Ay / (hb * hb + Ay * Ay)
+    Cz = Az * Az / (hb * hb + Az * Az)
+    D = 1.0 - Cy * Cz
+    vy = jnp.sqrt(jnp.maximum(Cy * (1.0 - vxb ** 2) * (1.0 - Cz) / D, 0.0))
+    vz = jnp.sqrt(jnp.maximum(Cz * (1.0 - vxb ** 2) * (1.0 - Cy) / D, 0.0))
+    return (jnp.where(S.Vy >= 0.0, vy, -vy),
+            jnp.where(S.Vz >= 0.0, vz, -vz))
+
+
+def _sr_set_flux(vx, vy, vz, P, d, g):
+    """setFluxes (exact_sr.c:794-815)."""
+    g1 = g - 1.0
+    G2 = 1.0 / jnp.maximum(1.0 - vx * vx - vy * vy - vz * vz, 1.0e-30)
+    G = jnp.sqrt(G2)
+    h = 1.0 + g * P / (g1 * d)
+    whg2 = d * h * G2
+    return jnp.stack([d * G * vx,
+                      whg2 * vx * vx + P,
+                      whg2 * vy * vx,
+                      whg2 * vz * vx,
+                      whg2 * vx])
+
+
+def _sr_fan_state(S, sign, pc, vxc, f_hd, f_tl, g):
+    """rtbis_xi (exact_sr.c:909-948) + the in-fan state extraction
+    (fluxes() :180-196): bisect xi(p) = 0 on [Wa.P, pc], then the state
+    on the isentrope at that p."""
+    xacc = _EPS32 * 0.5 * (S.P + pc)
+    neg = f_hd < 0.0
+    rtb0 = jnp.where(neg, S.P, pc)
+    dx0 = jnp.where(neg, pc - S.P, S.P - pc)
+
+    def body(i, c):
+        rtb, dx, done = c
+        dxn = 0.5 * dx
+        xmid = rtb + dxn
+        vx = _sr_vb_raref(S, xmid, sign, g)
+        fmid = _sr_xi(S, xmid, vx, sign, g)
+        rtbn = jnp.where(fmid <= 0.0, xmid, rtb)
+        return (jnp.where(done, rtb, rtbn), jnp.where(done, dx, dxn),
+                done | (jnp.abs(dxn) < xacc))
+
+    p, _, _ = jax.lax.fori_loop(
+        0, _JMAX, body, (rtb0, dx0, jnp.zeros_like(rtb0, bool)))
+    vx = _sr_vb_raref(S, p, sign, g)
+    d = _sr_adiabat(S, p, g)
+    vy, vz = _sr_velt_raref(S, p, vx, g)
+    return vx, vy, vz, p, d
+
+
+def exact_sr(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+    """Exact SR-hydro Riemann solver (exact_sr.c:77-277 fluxes + getP),
+    vectorized branch-free: the wave pattern (Two_S/RS/SR/Two_R) becomes
+    pressure brackets per interface, the rtbis_vel/rtbis_xi bisections
+    become fixed-length fori_loops with a per-element freeze at the
+    reference's float-epsilon tolerance, and the early-return sampling
+    tree becomes a precedence-ordered select over the six candidate
+    states.  Deviations: the reference's equal-state shortcut branch
+    reads an uninitialized vxc (exact_sr.c:115-125, indeterminate
+    behavior) and is omitted — the full machinery resolves a pure
+    contact correctly; the unphysical-enthalpy ath_error becomes a
+    clamped sqrt (the clamped value is only produced where the
+    rarefaction branch is selected anyway)."""
+    g = sim.gamma
+    SL = _SRSide(Wl, g)
+    SR_ = _SRSide(Wr, g)
+    Pl, Pr = SL.P, SR_.P
+
+    def comp(a, b):
+        return (a - b) / (1.0 - a * b)
+
+    vRel0 = comp(SL.Vx, SR_.Vx)
+
+    def vlim(p):
+        vlc = comp(SL.Vx, _sr_vb(SL, p, -1.0, g))
+        vrc = comp(SR_.Vx, _sr_vb(SR_, p, 1.0, g))
+        return comp(vlc, vrc)
+
+    # wave-pattern classification -> pressure brackets (getP :495-540)
+    pminP = jnp.minimum(Pl, Pr)
+    pmaxP = jnp.maximum(Pl, Pr)
+    vRS = vlim(pminP)                 # getVlim_RS
+    vSS = vlim(pmaxP)                 # getVlim_2S
+    m2R = vRel0 <= vRS
+    m2S = (~m2R) & (vRel0 > vSS)
+    mRS = (~m2R) & (~m2S) & (Pl > Pr)     # rarefaction-left, shock-right
+    pmin = jnp.where(m2R, 0.0, jnp.where(m2S, pmaxP, pminP))
+    pmax = jnp.where(m2R, pminP,
+                     jnp.where(m2S, 1000.0 * 0.5 * (Pl + Pr), pmaxP))
+
+    # rtbis_vel (exact_sr.c:866-907): JMAX bisections of delta-vRel
+    xacc = _EPS32 * 0.5 * (pmin + pmax)
+    f0 = vlim(pmin) - vRel0
+    neg = f0 < 0.0
+    rtb0 = jnp.where(neg, pmin, pmax)
+    dx0 = jnp.where(neg, pmax - pmin, pmin - pmax)
+
+    def body(i, c):
+        rtb, dx, done = c
+        dxn = 0.5 * dx
+        xmid = rtb + dxn
+        fmid = vlim(xmid) - vRel0
+        rtbn = jnp.where(fmid <= 0.0, xmid, rtb)
+        return (jnp.where(done, rtb, rtbn), jnp.where(done, dx, dxn),
+                done | (jnp.abs(dxn) < xacc))
+
+    pc, _, _ = jax.lax.fori_loop(
+        0, _JMAX, body, (rtb0, dx0, jnp.zeros_like(rtb0, bool)))
+
+    # contact velocity: from the RIGHT wave only in the RS pattern
+    # (fluxes() :131-151); density/shock speed per side by p vs Pa
+    vxc = jnp.where(mRS, _sr_vb(SR_, pc, 1.0, g), _sr_vb(SL, pc, -1.0, g))
+    _, vl_shock, dshl = _sr_shock_vars(SL, pc, -1.0, g)
+    _, vr_shock, dshr = _sr_shock_vars(SR_, pc, 1.0, g)
+    lsh = pc > Pl
+    rsh = pc > Pr
+    dcl = jnp.where(lsh, dshl, _sr_adiabat(SL, pc, g))
+    dcr = jnp.where(rsh, dshr, _sr_adiabat(SR_, pc, g))
+
+    # rarefaction head/tail speeds (fluxes() :168-178, 218-228)
+    vl_hd = _sr_xi(SL, Pl, SL.Vx, -1.0, g)
+    vl_tl = _sr_xi(SL, pc, vxc, -1.0, g)
+    vr_hd = _sr_xi(SR_, Pr, SR_.Vx, 1.0, g)
+    vr_tl = _sr_xi(SR_, pc, vxc, 1.0, g)
+
+    # candidate states (vx, vy, vz, P, d)
+    stL = (SL.Vx, SL.Vy, SL.Vz, Pl, SL.d)
+    stR = (SR_.Vx, SR_.Vy, SR_.Vz, Pr, SR_.d)
+    stFL = _sr_fan_state(SL, -1.0, pc, vxc, vl_hd, vl_tl, g)
+    stFR = _sr_fan_state(SR_, 1.0, pc, vxc, vr_hd, vr_tl, g)
+    vyls, vzls = _sr_velt_shock(SL, pc, vxc, g)
+    vylr, vzlr = _sr_velt_raref(SL, pc, vxc, g)
+    vyrs, vzrs = _sr_velt_shock(SR_, pc, vxc, g)
+    vyrr, vzrr = _sr_velt_raref(SR_, pc, vxc, g)
+    stCL = (vxc, jnp.where(lsh, vyls, vylr), jnp.where(lsh, vzls, vzlr),
+            pc, dcl)
+    stCR = (vxc, jnp.where(rsh, vyrs, vyrr), jnp.where(rsh, vzrs, vzrr),
+            pc, dcr)
+
+    # sampling tree at xi = 0 (fluxes() :155-277) as a precedence select
+    outL = jnp.where(lsh, vl_shock >= 0.0, vl_hd >= 0.0)
+    inFL = (~lsh) & (vl_hd < 0.0) & (vl_tl >= 0.0)
+    outR = jnp.where(rsh, vr_shock <= 0.0, vr_hd <= 0.0)
+    inFR = (~rsh) & (vr_hd > 0.0) & (vr_tl <= 0.0)
+    ctr = vxc >= 0.0
+
+    prim = [jnp.where(outL, a,
+            jnp.where(inFL, b,
+            jnp.where(outR, c,
+            jnp.where(inFR, e,
+            jnp.where(ctr, f, h)))))
+            for a, b, c, e, f, h in zip(stL, stFL, stR, stFR, stCL, stCR)]
+
+    # equal-state shortcut (exact_sr.c:115-125).  The reference branches
+    # on an UNINITIALIZED vxc there; the defined replacement upwinds the
+    # near-contact on the mean normal velocity (for truly identical
+    # states both branches coincide, so only the indeterminate case
+    # changes).
+    eqst = (jnp.abs(Pl - Pr) <= _PTOL) & (jnp.abs(SL.Vx - SR_.Vx) <= _PTOL)
+    up = 0.5 * (SL.Vx + SR_.Vx) >= 0.0
+    stEQ = (SL.Vx,
+            jnp.where(up, SL.Vy, SR_.Vy),
+            jnp.where(up, SL.Vz, SR_.Vz),
+            Pl,
+            jnp.where(up, SL.d, SR_.d))
+    prim = [jnp.where(eqst, e, p) for e, p in zip(stEQ, prim)]
+    return _sr_set_flux(prim[0], prim[1], prim[2], prim[3], prim[4], g)

@@ -65,6 +65,63 @@ def test_sr_mb1_matches_reference():
 
 
 @pytest.mark.slow
+def test_sr_mb1_exact_matches_reference():
+    """Exact SR Riemann solver (exact_sr.c) vs the reference built with
+    --with-flux=exact on the mb1 tube, 50 cycles (golden
+    sr_mb1_exact_50cycles.npz).  Tolerance as for the HLLC run: the
+    smooth regions match tightly; the few wave-front cells flip
+    bisection branches on last-ulp differences (and the reference's
+    equal-state shortcut branches on an uninitialized variable, see
+    riemann_sr.exact_sr)."""
+    gold = np.load(os.path.join(GOLD, "sr_mb1_exact_50cycles.npz"))
+    s = Simulation.from_file(MB1, problem="shkset1d",
+                             flux="exact", order="2p")
+    assert s.sim.special_relativity and s.sim.flux == "exact"
+    traj = gold["traj"]
+    for i in range(50):
+        s.step()
+        assert float(s.state.time) == pytest.approx(traj[i][0],
+                                                    rel=1e-6), i
+
+    from atmospheric_athena_tpu.eos_sr import sr_cons1d_to_prim1d as c2p
+    U = np.asarray(s.state.U)[(slice(None),) + s.grid.interior()]
+    W = np.asarray(c2p(U.reshape(5, -1), s.sim))
+    ref = gold["prim"]   # cols: i x1 d V1 V2 V3 P
+    for col, k, n in [(2, 0, "d"), (3, 1, "V1"), (6, 4, "P")]:
+        scale = np.abs(ref[:, col]).max()
+        np.testing.assert_allclose(W[k], ref[:, col], rtol=0,
+                                   atol=5e-5 * scale, err_msg=n)
+
+
+@pytest.mark.slow
+def test_sr_mb1_exact_transverse_matches_reference():
+    """Exact SR solver with nonzero transverse velocities (v2l=0.4,
+    v2r=-0.2, v3l=0.1 overrides on mb1), 30 cycles — exercises the
+    hGv_t rarefaction invariant (getVelT_Raref) and the per-component
+    shock jump (getVelT_Shock), which the plain mb1 tube never hits."""
+    gold = np.load(os.path.join(GOLD, "sr_mb1vt_exact_30cycles.npz"))
+    s = Simulation.from_file(MB1, problem="shkset1d",
+                             flux="exact", order="2p",
+                             cmdline=["problem/v2l=0.4", "problem/v2r=-0.2",
+                                      "problem/v3l=0.1"])
+    traj = gold["traj"]
+    for i in range(30):
+        s.step()
+        assert float(s.state.time) == pytest.approx(traj[i][0],
+                                                    rel=1e-6), i
+
+    from atmospheric_athena_tpu.eos_sr import sr_cons1d_to_prim1d as c2p
+    U = np.asarray(s.state.U)[(slice(None),) + s.grid.interior()]
+    W = np.asarray(c2p(U.reshape(5, -1), s.sim))
+    ref = gold["prim"]   # cols: i x1 d V1 V2 V3 P
+    for col, k, n in [(2, 0, "d"), (3, 1, "V1"), (4, 2, "V2"),
+                      (5, 3, "V3"), (6, 4, "P")]:
+        scale = np.abs(ref[:, col]).max()
+        np.testing.assert_allclose(W[k], ref[:, col], rtol=0,
+                                   atol=5e-5 * scale, err_msg=n)
+
+
+@pytest.mark.slow
 def test_sr_3d_vl_blast_10cycles():
     """3D VL-SR hydro (integrate_3d_vl_sr.c) vs the reference built with
     --with-problem=blast --with-gas=hydro --enable-special-relativity
