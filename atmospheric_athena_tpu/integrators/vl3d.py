@@ -67,9 +67,9 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     assert len(axes) == 3, "vl3d handles 3D; 1D/2D VL pending"
     sr = sim.special_relativity
     if sr:
-        # SR hydro (integrate_3d_vl_sr.c): same step map with the SR
-        # variable conversions; SR MHD (CT + Noble inversion in 3D) pending
-        assert not sim.mhd, "3D VL-SR MHD pending"
+        # SR hydro (integrate_3d_vl_sr.c) / SR MHD (same file, MHD
+        # sections: Noble NR inversion + the identical CT machinery):
+        # same step map with the SR variable conversions
         assert sim.nscalars == 0, "scalars pending in SR"
         from ..eos_sr import sr_cons1d_to_prim1d, sr_prim1d_to_cons1d
         from .sweep import var_perm
@@ -77,7 +77,15 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
         # cell with Cons_to_Prim before the sweeps,
         # integrate_3d_vl_sr.c:152-157 — per-axis conversion of the
         # permuted stack differs in the |M|^2 summation order by ulps)
-        Wphys = sr_cons1d_to_prim1d(state.U, sim)
+        if sim.mhd:
+            assert not sim.first_order_flux_correction, \
+                "FOFC pending in 3D VL SR-MHD"
+            from ..eos_sr import (sr_mhd_cons1d_to_prim1d,
+                                  sr_mhd_prim1d_to_cons1d)
+            U7x, _Bx0 = _sweep_pack(state.U, state.Bcc, 0, sim)
+            Wphys = sr_mhd_cons1d_to_prim1d(U7x, _Bx0, sim)[:5]
+        else:
+            Wphys = sr_cons1d_to_prim1d(state.U, sim)
     dtodx = {a: dt / grid.dx[a] for a in axes}
     q = {a: 0.5 * dtodx[a] for a in axes}
 
@@ -96,11 +104,21 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
         U1d, Bxc = _sweep_pack(U, Bcc, a, sim)
         if sr:
             W = Wphys[var_perm(a, sim), ...]
+            if sim.mhd:
+                a1, a2 = (a + 1) % 3, (a + 2) % 3
+                W = jnp.concatenate([W, Bcc[a1][None], Bcc[a2][None]], 0)
             Wl = _sh(W, -1, a)
             Wr = W
-            Ul = sr_prim1d_to_cons1d(Wl, sim)
-            Ur = sr_prim1d_to_cons1d(Wr, sim)
-            F = riemann.fluxes(Ul, Ur, Wl, Wr, None, sim)
+            if sim.mhd:
+                # U regenerated from W with the DONOR cell's Bxc
+                # (integrate_3d_vl_sr.c:203-210)
+                Ul = sr_mhd_prim1d_to_cons1d(Wl, _shf(Bxc, -1, a), sim)
+                Ur = sr_mhd_prim1d_to_cons1d(Wr, Bxc, sim)
+                F = riemann.fluxes(Ul, Ur, Wl, Wr, Bi[a], sim)
+            else:
+                Ul = sr_prim1d_to_cons1d(Wl, sim)
+                Ur = sr_prim1d_to_cons1d(Wr, sim)
+                F = riemann.fluxes(Ul, Ur, Wl, Wr, None, sim)
             Fp[a], FByz[a] = _sweep_unpack_flux(F, a, sim)
             continue
         W = cons1d_to_prim1d(U1d, Bxc, sim)
@@ -116,7 +134,11 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     # === STEP 4: half-dt CT [MHD] ===========================================
     if sim.mhd:
         d = U[ID]
-        emf_cc = _emf_cc(Bcc, U[IM1] / d, U[IM1 + 1] / d, U[IM1 + 2] / d)
+        # SR: the cc reference EMF uses the PRIMITIVE velocity (M/d is
+        # not v in SR; integrate_3d_vl_sr.c:348-358 reads W)
+        vel = ((Wphys[1], Wphys[2], Wphys[3]) if sr else
+               (U[IM1] / d, U[IM1 + 1] / d, U[IM1 + 2] / d))
+        emf_cc = _emf_cc(Bcc, *vel)
         emfP = [_corner_emf(e, Fp, FByz, emf_cc) for e in axes]
         Bf = []
         for a in axes:
@@ -149,19 +171,32 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
 
     # === STEPS 7-10: second-order states from Uhalf + full fluxes ===========
     if sr:
-        Whalf_phys = sr_cons1d_to_prim1d(Uhalf, sim)
+        if sim.mhd:
+            U7h, _Bxh0 = _sweep_pack(Uhalf, Bcch, 0, sim)
+            Whalf_phys = sr_mhd_cons1d_to_prim1d(U7h, _Bxh0, sim)[:5]
+        else:
+            Whalf_phys = sr_cons1d_to_prim1d(Uhalf, sim)
     Fp2, FByz2 = {}, {}
     for a in axes:
         U1d, Bxc = _sweep_pack(Uhalf, Bcch, a, sim)
         if sr:
             W = Whalf_phys[var_perm(a, sim), ...]
-            Wm, Wp_ = reconstruct.lr_states(W, None, dtodx[a], sim,
+            if sim.mhd:
+                a1, a2 = (a + 1) % 3, (a + 2) % 3
+                W = jnp.concatenate([W, Bcch[a1][None], Bcch[a2][None]], 0)
+            Wm, Wp_ = reconstruct.lr_states(W, Bxc, dtodx[a], sim,
                                             axis=2 - a)
             Wl = _sh(Wp_, -1, a)
             Wr = Wm
-            Ul = sr_prim1d_to_cons1d(Wl, sim)
-            Ur = sr_prim1d_to_cons1d(Wr, sim)
-            F = riemann.fluxes(Ul, Ur, Wl, Wr, None, sim)
+            if sim.mhd:
+                Bxi = Bf[a]
+                Ul = sr_mhd_prim1d_to_cons1d(Wl, Bxi, sim)
+                Ur = sr_mhd_prim1d_to_cons1d(Wr, Bxi, sim)
+                F = riemann.fluxes(Ul, Ur, Wl, Wr, Bxi, sim)
+            else:
+                Ul = sr_prim1d_to_cons1d(Wl, sim)
+                Ur = sr_prim1d_to_cons1d(Wr, sim)
+                F = riemann.fluxes(Ul, Ur, Wl, Wr, None, sim)
             Fp2[a], FByz2[a] = _sweep_unpack_flux(F, a, sim)
             continue
         W = cons1d_to_prim1d(U1d, Bxc, sim)
@@ -177,8 +212,10 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     # === STEP 11: full-dt CT [MHD] ==========================================
     if sim.mhd:
         dh = Uhalf[ID]
-        emf_cc_h = _emf_cc(Bcch, Uhalf[IM1] / dh, Uhalf[IM1 + 1] / dh,
-                           Uhalf[IM1 + 2] / dh)
+        velh = ((Whalf_phys[1], Whalf_phys[2], Whalf_phys[3]) if sr else
+                (Uhalf[IM1] / dh, Uhalf[IM1 + 1] / dh,
+                 Uhalf[IM1 + 2] / dh))
+        emf_cc_h = _emf_cc(Bcch, *velh)
         emfC = [_corner_emf(e, Fp2, FByz2, emf_cc_h) for e in axes]
 
     if sim.mhd:

@@ -146,10 +146,17 @@ def step_mhd_2d(state: State, dt, sim: SimConfig, grid: GridConfig,
     CTU integrator) advances B1i/B2i at the half and full steps; B3c is a
     conserved variable updated by flux differencing."""
     from .ctu2d_mhd import _emf3_corner
-    assert not sim.special_relativity, "2D VL-SR MHD pending"
     assert not sim.h_correction, "H-correction pending in 2D VL MHD"
     axes = [a for a in range(3) if grid.active(a)]
     assert axes == [0, 1], "2D VL MHD needs x1/x2 active"
+    sr = sim.special_relativity
+    if sr:
+        # integrate_2d_vl_sr.c: same step map with the SR conversions
+        assert sim.nscalars == 0, "scalars pending in SR MHD"
+        assert not sim.first_order_flux_correction, \
+            "FOFC pending in 2D VL SR-MHD"
+        from ..eos_sr import (sr_mhd_cons1d_to_prim1d,
+                              sr_mhd_prim1d_to_cons1d)
     dtodx = {a: dt / grid.dx[a] for a in axes}
     hq = {a: 0.5 * dtodx[a] for a in axes}
 
@@ -175,23 +182,42 @@ def step_mhd_2d(state: State, dt, sim: SimConfig, grid: GridConfig,
             jnp.concatenate([F[:ib], F[ib + 2:]], 0), a, sim)
         return hyd, (F[ib], F[ib + 1])
 
+    def sweep_W(Wphys5, Bv, a):
+        """Per-axis 7-var primitive sweep stack from the ONCE-converted
+        physical-order primitives (conversion in physical order like the
+        reference's single Cons_to_Prim pass; per-axis conversion of the
+        permuted stack differs in the |M|^2 summation order by ulps)."""
+        a1, a2 = (a + 1) % 3, (a + 2) % 3
+        Ws = vperm_to_sweep(Wphys5, a, sim)
+        return jnp.concatenate([Ws, Bv[a1][None], Bv[a2][None]], 0)
+
+    if sr:
+        Wphys = sr_mhd_cons1d_to_prim1d(sweep_U(U, Bcc, 0), Bcc[0],
+                                        sim)[:5]
+
     # === steps 1-2: first-order fluxes at t^n ==============================
     Fh, FB = {}, {}
     for a in axes:
-        U1d = sweep_U(U, Bcc, a)
         Bxc = Bcc[a]
-        W = cons1d_to_prim1d(U1d, Bxc, sim)
+        if sr:
+            W = sweep_W(Wphys, Bcc, a)
+        else:
+            W = cons1d_to_prim1d(sweep_U(U, Bcc, a), Bxc, sim)
+        p2c = sr_mhd_prim1d_to_cons1d if sr else prim1d_to_cons1d
         Wl = _sh(W, -1, a)
         # U regenerated from W per side with the donor cell's Bxc
         # (integrate_2d_vl.c:231-233, "in case Pfloor used")
-        Ul = prim1d_to_cons1d(Wl, _shf(Bxc, -1, a), sim)
-        Ur = prim1d_to_cons1d(W, Bxc, sim)
+        Ul = p2c(Wl, _shf(Bxc, -1, a), sim)
+        Ur = p2c(W, Bxc, sim)
         F = riemann.fluxes(Ul, Ur, Wl, W, Bi[a], sim)
         Fh[a], FB[a] = split_hyd(F, a)
 
     # === step 4: half-dt CT ================================================
     d = U[ID]
-    ecc = (Bcc[0] * U[IM1 + 1] - Bcc[1] * U[IM1]) / d
+    # SR: the cc reference EMF uses the PRIMITIVE velocity
+    # (integrate_2d_vl_sr.c step 4a reads W)
+    ecc = ((Bcc[0] * Wphys[2] - Bcc[1] * Wphys[1]) if sr else
+           (Bcc[0] * U[IM1 + 1] - Bcc[1] * U[IM1]) / d)
     emf3 = _emf3_corner(Fh[0][ID], FB[0][0], Fh[1][ID], FB[1][1], ecc)
     B1ih = Bi[0] - hq[1] * (_shf(emf3, 1, 1) - emf3)
     B2ih = Bi[1] + hq[0] * (_shf(emf3, 1, 0) - emf3)
@@ -217,22 +243,29 @@ def step_mhd_2d(state: State, dt, sim: SimConfig, grid: GridConfig,
     Bh = (B1ch, B2ch, B3ch)
 
     # === steps 7-10: second-order states + full fluxes =====================
+    if sr:
+        Whalf = sr_mhd_cons1d_to_prim1d(sweep_U(Uhalf, Bh, 0), Bh[0],
+                                        sim)[:5]
     F2h, F2B = {}, {}
     for a in axes:
-        U1dh = sweep_U(Uhalf, Bh, a)
-        W = cons1d_to_prim1d(U1dh, Bh[a], sim)
+        if sr:
+            W = sweep_W(Whalf, Bh, a)
+        else:
+            W = cons1d_to_prim1d(sweep_U(Uhalf, Bh, a), Bh[a], sim)
+        p2c = sr_mhd_prim1d_to_cons1d if sr else prim1d_to_cons1d
         Wm, Wp_ = reconstruct.lr_states(W, Bh[a], dtodx[a], sim,
                                         axis=2 - a)
         Wl2 = _sh(Wp_, -1, a)
         Wr2 = Wm
         Bface = B1ih if a == 0 else B2ih
-        Ul2 = prim1d_to_cons1d(Wl2, Bface, sim)
-        Ur2 = prim1d_to_cons1d(Wr2, Bface, sim)
+        Ul2 = p2c(Wl2, Bface, sim)
+        Ur2 = p2c(Wr2, Bface, sim)
         F = riemann.fluxes(Ul2, Ur2, Wl2, Wr2, Bface, sim)
         F2h[a], F2B[a] = split_hyd(F, a)
 
     # === step 11: full-dt CT ===============================================
-    ecc_h = (B1ch * Uhalf[IM1 + 1] - B2ch * Uhalf[IM1]) / Uhalf[ID]
+    ecc_h = ((B1ch * Whalf[2] - B2ch * Whalf[1]) if sr else
+             (B1ch * Uhalf[IM1 + 1] - B2ch * Uhalf[IM1]) / Uhalf[ID])
     emf3F = _emf3_corner(F2h[0][ID], F2B[0][0], F2h[1][ID], F2B[1][1],
                          ecc_h)
     B1new = Bi[0] - dtodx[1] * (_shf(emf3F, 1, 1) - emf3F)

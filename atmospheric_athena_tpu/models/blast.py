@@ -58,9 +58,17 @@ class Blast:
             if sim.special_relativity:
                 # SR total energy includes rest mass: use the SR
                 # conversion (blast.c goes through the SR Prim_to_Cons)
-                from ..eos_sr import sr_prim1d_to_cons1d
                 z = jnp.zeros_like(d)
-                Usr = sr_prim1d_to_cons1d(jnp.stack([d, z, z, z, P]), sim)
+                if sim.mhd:
+                    from ..eos_sr import sr_mhd_prim1d_to_cons1d
+                    W7 = jnp.stack([d, z, z, z, P,
+                                    jnp.broadcast_to(By, d.shape),
+                                    jnp.zeros_like(d)])
+                    Usr = sr_mhd_prim1d_to_cons1d(W7, Bx, sim)
+                else:
+                    from ..eos_sr import sr_prim1d_to_cons1d
+                    Usr = sr_prim1d_to_cons1d(
+                        jnp.stack([d, z, z, z, P]), sim)
                 U = U.at[ID].set(Usr[0])
                 U = U.at[IEN].set(Usr[4])
             else:

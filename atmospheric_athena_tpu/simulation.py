@@ -162,8 +162,6 @@ class Simulation:
             from .integrators import cyl as integ
         elif sim.integrator == "vl":
             if ndim == 3:
-                if sim.special_relativity and sim.mhd:
-                    raise NotImplementedError("3D VL-SR MHD pending")
                 from .integrators import vl3d as integ
             else:
                 from .integrators import vl_lowd as integ
