@@ -20,6 +20,19 @@ from .config import SimConfig
 from .defs import TINY_NUMBER
 
 
+def exact_div(x, c):
+    """x / c with a TRUE division under jit.
+
+    XLA's compiler rewrites division by a trace-time constant into
+    multiplication by the folded reciprocal (verified on CPU: jit(x/c)
+    bit-equals x*(1/c), differing from the true quotient on ~50% of
+    operands).  The reference C code performs real divisions, so
+    bit-critical paths (whose ulps reach branchy upwind/tie selects)
+    must defend the divisor behind an optimization barrier."""
+    cc = jax.lax.optimization_barrier(jnp.asarray(c, jnp.result_type(x)))
+    return x / cc
+
+
 def sr_prim1d_to_cons1d(W, sim: SimConfig):
     d, Vx, Vy, Vz, P = W[0], W[1], W[2], W[3], W[4]
     vsq = Vx ** 2 + Vy ** 2 + Vz ** 2
@@ -148,8 +161,16 @@ def sr_mhd_prim1d_to_cons1d(W, Bx, sim: SimConfig):
     return jnp.stack([jnp.sqrt(U0) * d, Mx, My, Mz, E, By, Bz])
 
 
-def _nr_scalars(d, Bsq, Msq, Ssq, Q, g1overg):
-    """calc_vsq + calc_chi + derived rho/pgas (convert_var.c:1270-1290)."""
+def _nr_scalars(d, Bsq, Msq, Ssq, Q, gamma_1, gamma):
+    """calc_vsq + calc_chi + derived rho/pgas (convert_var.c:1270-1290).
+
+    pgas is computed as ``Gamma_1*Chi/Gamma`` — multiply THEN divide —
+    mirroring the reference's in-loop expression (convert_var.c:672,:869)
+    to the ulp.  (A precomputed Gamma_1/Gamma ratio rounds differently,
+    which perturbs the converged Q by one ulp and, through the W->U
+    roundtrip at v!=0, leaves ~1e-16 residues in analytically-zero HLLE
+    mass fluxes; those flip the corner-EMF upwind tie branches that the
+    GS05 CT select takes, breaking golden equality at cycle 1.)"""
     Qsq = Q * Q
     scrh1 = Q + Bsq
     Vsq = (Msq + Ssq / Qsq * (scrh1 + Q)) / (scrh1 * scrh1)
@@ -157,14 +178,15 @@ def _nr_scalars(d, Bsq, Msq, Ssq, Q, g1overg):
     G = jnp.sqrt(jnp.abs(Gsq))
     Chi = (Q - d * G) * (1.0 - Vsq)
     rho = d / G
-    pgas = g1overg * Chi
+    pgas = exact_div(gamma_1 * Chi, gamma)
     return Vsq, Gsq, G, Chi, rho, pgas
 
 
 def _nr_f_df(Q, E, d, Bsq, Msq, Ssq, sim: SimConfig):
     """calc_func + calc_dfunc (convert_var.c:1183-1231)."""
     g1overg = sim.gamma_1 / sim.gamma
-    Vsq, Gsq, G, Chi, rho, pgas = _nr_scalars(d, Bsq, Msq, Ssq, Q, g1overg)
+    Vsq, Gsq, G, Chi, rho, pgas = _nr_scalars(d, Bsq, Msq, Ssq, Q,
+                                              sim.gamma_1, sim.gamma)
     fQ = Q - pgas + 0.5 * (1.0 + Vsq) * Bsq - (0.5 * Ssq / Q / Q) - E
 
     Qth = Q * Q * Q
@@ -193,7 +215,8 @@ def _sr_mhd_newton(U, Bx, sim: SimConfig, maxiter):
     # initial guess: +ve root of Mignone & McKinney eqn A27 (:639-648)
     scrh1 = -4.0 * (E - Bsq)
     scrh2 = Msq - 2.0 * E * Bsq + Bsq * Bsq
-    Q0 = (-scrh1 + jnp.sqrt(jnp.abs(scrh1 * scrh1 - 12.0 * scrh2))) / 6.0
+    Q0 = exact_div(-scrh1 + jnp.sqrt(jnp.abs(scrh1 * scrh1 - 12.0 * scrh2)),
+                   6.0)
     Q0 = jnp.where(Q0 < 0.0, d, Q0)
     bad0 = jnp.isnan(Q0)
 
@@ -244,7 +267,7 @@ def _sr_mhd_newton(U, Bx, sim: SimConfig, maxiter):
     Q, dQstep, _, succ, fail = jax.lax.while_loop(cond, body, init)
     converged = succ & ~fail
     Vsq, Gsq, G, Chi, rho, pgas = _nr_scalars(
-        d, Bsq, Msq, Ssq, Q, sim.gamma_1 / sim.gamma)
+        d, Bsq, Msq, Ssq, Q, sim.gamma_1, sim.gamma)
     return Q, converged, Vsq, rho, pgas, S, Bsq
 
 

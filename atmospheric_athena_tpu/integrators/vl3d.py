@@ -86,7 +86,12 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             Wphys = sr_mhd_cons1d_to_prim1d(U7x, _Bx0, sim)[:5]
         else:
             Wphys = sr_cons1d_to_prim1d(state.U, sim)
-    dtodx = {a: dt / grid.dx[a] for a in axes}
+    # exact_div: XLA folds division by a constant dx into multiplication by
+    # its reciprocal; dx values that are not powers of two (e.g. 0.046875)
+    # then differ from the reference's true division by an ulp, which is
+    # enough to flip corner-EMF tie branches (see eos_sr.exact_div).
+    from ..eos_sr import exact_div
+    dtodx = {a: exact_div(dt, grid.dx[a]) for a in axes}
     q = {a: 0.5 * dtodx[a] for a in axes}
 
     U = state.U
