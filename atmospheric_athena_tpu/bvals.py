@@ -249,18 +249,25 @@ def _apply_bc_jnp(state: State, grid: GridConfig, sim: SimConfig,
                 # flag 3: ghosts keep their problem-initialized values
                 # (the tst/cylindrical decks' do_nothing_bc enrollment)
                 continue
-            if flag == BC_USER:
-                name = f"bc_{'i' if side == 'lo' else 'o'}x{axis + 1}"
-                fn = getattr(problem, name, None)
+            # a problem-enrolled function overrides the deck flag for its
+            # side, exactly like bvals_mhd_fun (bvals_mhd.c:906-939 — the
+            # enrolled pointer replaces whatever the flag selected)
+            name = f"bc_{'i' if side == 'lo' else 'o'}x{axis + 1}"
+            user_fn = getattr(problem, name, None) if problem else None
+            if flag == BC_USER or user_fn is not None:
+                fn = user_fn
                 if fn is None:
                     raise ValueError(
                         f"BC flag 0 on axis {axis} ({side}) but problem "
                         "enrolls no user BC function")
-                state = state.replace(U=U, Bcc=Bcc) if sim.mhd \
-                    else state.replace(U=U)
+                state = state.replace(
+                    U=U, Bcc=Bcc, B1i=Bi[0], B2i=Bi[1], B3i=Bi[2]) \
+                    if sim.mhd else state.replace(U=U)
                 state = fn(state, grid, sim)
                 U = state.U
                 Bcc = state.Bcc
+                if sim.mhd:
+                    Bi = [state.B1i, state.B2i, state.B3i]
                 continue
             blk = _ghost_block(U, ad_U, ng, side, flag)
             if flag in (BC_REFLECT, BC_CONDUCTOR):

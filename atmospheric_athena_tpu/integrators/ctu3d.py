@@ -48,12 +48,7 @@ def _shf(q, k, axis):
     return jnp.roll(q, -k, axis=2 - axis)
 
 
-def _phi_arrays(problem, grid: GridConfig, dtype):
-    """φ at cell centers and at the three left-face families, as full
-    [Nz,Ny,Nx] arrays (cc_pos semantics, src/cc_pos.c:36-58)."""
-    phi_fn = getattr(problem, "static_grav_pot", None) if problem else None
-    if phi_fn is None:
-        return None, None
+def _eval_phi(phi_fn, grid: GridConfig, dtype):
     import numpy as np
     coords = [np.asarray(grid.cc_coords(a), dtype) for a in range(3)]
     # broadcastable [Nz,Ny,Nx] views: axis a varies along array dim 2-a
@@ -69,6 +64,49 @@ def _phi_arrays(problem, grid: GridConfig, dtype):
         xs[a] = xs[a] - 0.5 * grid.dx[a]
         phif.append(phi_fn(*xs))
     return phic, phif
+
+
+def _phi_arrays(problem, grid: GridConfig, dtype):
+    """φ at cell centers and at the three left-face families, as full
+    [Nz,Ny,Nx] arrays (cc_pos semantics, src/cc_pos.c:36-58).
+
+    When the problem enrolls BOTH ``static_grav_pot`` (StaticGravPot)
+    and ``shearing_box_pot`` (ShearingBoxPot — e.g. strat.c:362-363),
+    the returned φ is their SUM: everywhere except the shearing-mode
+    full-dt momentum update the reference applies the two potentials
+    through identical gradient expressions back-to-back (sweeps
+    :314-342/:371-391, half-step :2167-2227, energies), so the sum is
+    equivalent.  The full-dt static-only part goes through
+    _phi_static_arrays."""
+    phi_fn = getattr(problem, "static_grav_pot", None) if problem else None
+    shear_fn = getattr(problem, "shearing_box_pot", None) if problem \
+        else None
+    if phi_fn is None and shear_fn is None:
+        return None, None
+    if phi_fn is not None and shear_fn is not None:
+        fn = lambda x1, x2, x3: (phi_fn(x1, x2, x3)
+                                 + shear_fn(x1, x2, x3))
+    else:
+        fn = phi_fn if phi_fn is not None else shear_fn
+    return _eval_phi(fn, grid, dtype)
+
+
+def _phi_static_arrays(problem, grid: GridConfig, dtype):
+    """StaticGravPot alone — needed by the shearing-box full-dt update,
+    where the tidal (ShearingBoxPot) momentum source is replaced by the
+    Crank-Nicolson scheme but the static potential still gets the
+    standard dhalf-weighted gradient (integrate_3d_ctu.c:2741-2782
+    applied independently of the SHEARING_BOX block)."""
+    if problem is None:
+        return None, None
+    phi_fn = getattr(problem, "static_grav_pot", None)
+    shear_fn = getattr(problem, "shearing_box_pot", None)
+    if phi_fn is None or shear_fn is None:
+        # single-potential problems: in shearing mode the lone
+        # static_grav_pot plays ShearingBoxPot (hgb.c enrolls only it),
+        # so there is no separate static part
+        return None, None
+    return _eval_phi(phi_fn, grid, dtype)
 
 
 def _cfast_cons(Uc, axis, sim: SimConfig, Bx=None):

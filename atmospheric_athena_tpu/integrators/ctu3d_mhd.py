@@ -57,7 +57,7 @@ def _dbg(**kw):
 
 
 def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
-         phi=None, return_fluxes=False):
+         phi=None, return_fluxes=False, phi_static=None):
     assert sim.mhd and grid.ndim == 3
     axes = [0, 1, 2]
     dtodx = {a: dt / grid.dx[a] for a in axes}
@@ -73,6 +73,10 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     # direct calls
     phic, phif = phi if phi is not None else _phi_arrays(problem, grid,
                                                          U.dtype)
+    if phi_static is None and sim.shearing_box:
+        from .ctu3d import _phi_static_arrays
+        phi_static = _phi_static_arrays(problem, grid, U.dtype)
+    phic_s, phif_s = phi_static if phi_static is not None else (None, None)
 
     d = U[ID]
     V = [U[IM1 + c] / d for c in range(3)]
@@ -351,6 +355,16 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             Unew = Unew.at[IM1 + 1].add(
                 -0.5 * qsh * om_dt *
                 (Fp2[0][ID] + _sh(Fp2[0], 1, 0)[ID]))
+        # StaticGravPot full-dt momentum (strat.c's VertGrav): applied
+        # with dhalf independently of the CN tidal update
+        # (integrate_3d_ctu.c:2741-2782 runs for any enrolled
+        # StaticGravPot; the CN block only replaces ShearingBoxPot)
+        if phic_s is not None:
+            for a in axes:
+                phir = _shf(phif_s[a], 1, a)
+                phil = phif_s[a]
+                Unew = Unew.at[IM1 + a].add(
+                    -dtodx[a] * (phir - phil) * dhalf)
         if phic is not None and sim.adiabatic:
             for a in axes:
                 phir = _shf(phif[a], 1, a)

@@ -9,10 +9,10 @@ Reference: src/microphysics/resistivity.c —
   (:298-420).
 
 Operator-split explicit update (integrate_diffusion.c); the explicit
-stability limit dx^2/(2*ndim*eta) joins diff_dt.  Hall and ambipolar
-terms (EField_Hall/EField_AD) are still pending; eta is taken constant
-(the reference's get_eta.c single-fluid formulas reduce to constants for
-the regression decks).
+stability limit dx^2/(2*ndim*eta) joins diff_dt.  Ambipolar diffusion
+(EField_AD, resistivity.c:494-568) is implemented below; eta is taken
+constant (the reference's get_eta.c single-fluid formulas reduce to
+constants for the regression decks).
 """
 
 from __future__ import annotations
@@ -31,12 +31,15 @@ def _sh(q, k, axis):
 
 
 def resistivity(state: State, dt, sim: SimConfig, grid: GridConfig,
-                eta_ohm: float, q_ad: float = 0.0) -> State:
+                eta_ohm: float, q_ad: float = 0.0,
+                d_ind=None) -> State:
     """One explicit resistive-diffusion step of (B1i,B2i,B3i,Bcc,E):
     Ohmic EMF eta_O*J plus, with q_ad > 0, the ambipolar EMF
-    Q_AD*(J_perp) = Q_AD*(J - (J.B)B/B^2) with edge-interpolated J and B
-    (EField_AD, resistivity.c:714-880; constant Q_AD = the reference's
-    eta_AD/B^2 single-fluid coefficient)."""
+    eta_AD*(J_perp) with edge-interpolated J and B (EField_AD,
+    resistivity.c:829-1009).  With d_ind=None eta_AD = q_ad is a
+    constant (the decay/selectivity regression mode); with d_ind set,
+    eta_AD = Q_AD*B^2/rho^(1+d_ind) per cell (get_eta.c:110, the
+    single-fluid form the cshock1d problem uses with d_ind=0)."""
     assert sim.mhd, "resistivity requires MHD"
     B1i, B2i, B3i = state.B1i, state.B2i, state.B3i
     Bcc = state.Bcc
@@ -67,6 +70,18 @@ def resistivity(state: State, dt, sim: SimConfig, grid: GridConfig,
         def avp(q, a):      # 0.5*(q + q[+1_a])
             return 0.5 * (q + _sh(q, 1, a)) if act[a] else q
 
+        if d_ind is not None:
+            # single-fluid coefficient field (get_eta.c:110):
+            # eta_AD = Q_AD * B^2 / rho^(1+d_ind), cell-centered, then
+            # edge-averaged over the two transverse axes (EField_AD 3D:
+            # 0.25*(eta + eta[-1_b] + eta[-1_c] + eta[-1_b,-1_c]))
+            from ..defs import ID as _ID
+            Bsq_cc = Bcc[0] ** 2 + Bcc[1] ** 2 + Bcc[2] ** 2
+            rho = state.U[_ID]
+            eta_cc = q_ad * Bsq_cc / rho ** (1.0 + d_ind)
+        else:
+            eta_cc = None   # legacy constant coefficient = q_ad
+
         emf_ad = []
         for a in range(3):
             b, c = (a + 1) % 3, (a + 2) % 3
@@ -87,7 +102,9 @@ def resistivity(state: State, dt, sim: SimConfig, grid: GridConfig,
             Bsq = jnp.maximum(iB[0] ** 2 + iB[1] ** 2 + iB[2] ** 2,
                               TINY_NUMBER)
             JdotB = iJ[0] * iB[0] + iJ[1] * iB[1] + iJ[2] * iB[2]
-            emf_ad.append(q_ad * (J[a] - JdotB * iB[a] / Bsq))
+            eta_a = (q_ad if eta_cc is None
+                     else avm(avm(eta_cc, b), c))
+            emf_ad.append(eta_a * (J[a] - JdotB * iB[a] / Bsq))
         ex = ex + emf_ad[0]
         ey = ey + emf_ad[1]
         ez = ez + emf_ad[2]

@@ -26,19 +26,21 @@ def register(name):
     return deco
 
 
-_BUILTIN = ("shkset1d", "linear_wave", "blast", "ifront", "ioniz_sphere", "jeans",
-            "shkset2d", "shkset3d", "kh", "rt", "orszag_tang", "cpaw",
-            "field_loop", "hgb", "cylblast", "cylwindrot", "turb")
+_BUILTIN = ("shkset1d", "linear_wave", "blast", "ifront", "ioniz_sphere",
+            "jeans", "shkset2d", "shkset3d", "kh", "rt", "orszag_tang",
+            "cpaw", "field_loop", "hgb", "cylblast", "cylwindrot", "turb",
+            "strat", "par_epicycle", "par_friction", "noh", "cshock1d",
+            "twoibw", "pgflow")
 
 
 def get_problem(name: str):
     if name not in _REGISTRY:
         import importlib
         for mod in _BUILTIN:
-            try:
-                importlib.import_module(f"{__name__}.{mod}")
-            except ImportError:
-                pass
+            # a missing/broken builtin module is a packaging bug: fail
+            # loudly (round 4 silently swallowed ImportError, letting
+            # PARITY claim problems that did not exist)
+            importlib.import_module(f"{__name__}.{mod}")
     try:
         return _REGISTRY[name]
     except KeyError:

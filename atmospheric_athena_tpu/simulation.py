@@ -188,6 +188,10 @@ class Simulation:
         kappa_iso = self.par.getd_def("problem", "kappa_iso", 0.0)
         eta_ohm = self.par.getd_def("problem", "eta_O", 0.0)
         q_ad = self.par.getd_def("problem", "Q_AD", 0.0)
+        # d_ind present => single-fluid eta_AD = Q_AD*B^2/rho^(1+d_ind)
+        # (get_eta.c:110; cshock1d sets d_ind=0); absent => constant Q_AD
+        d_ind = (self.par.getd("problem", "d_ind")
+                 if self.par.exist("problem", "d_ind") else None)
         nu_aniso = self.par.getd_def("problem", "nu_aniso", 0.0)
         kappa_aniso = self.par.getd_def("problem", "kappa_aniso", 0.0)
         cooling_fn = getattr(problem, "cooling_fn", None)
@@ -197,9 +201,11 @@ class Simulation:
         if has_diff:
             from .microphysics import diff_dt as diff_dt_fn, integrate_diff
             eta_ad_max = 0.0
-            if q_ad > 0.0:
-                # effective ambipolar eta = Q_AD*B^2: bound with the
-                # initial field's maximum (get_eta.c analogue)
+            if q_ad > 0.0 and d_ind is None:
+                # constant-coefficient mode: effective eta = Q_AD*B^2
+                # bounded by the initial field's maximum; the d_ind
+                # (single-fluid) mode recomputes the bound from the
+                # state each cycle instead (diff_dt_resistive_state)
                 eta_ad_max = q_ad * float(jnp.max(
                     self.state.Bcc[0] ** 2 + self.state.Bcc[1] ** 2
                     + self.state.Bcc[2] ** 2))
@@ -248,12 +254,25 @@ class Simulation:
             # operator-split diffusion before radiation/hydro
             # (main.c:530-539); dt clamped to the explicit-diffusion CFL
             if has_diff:
-                dt = jnp.minimum(dt, dt_diff)
+                if q_ad > 0.0 and d_ind is not None:
+                    # single-fluid ambipolar: eta_AD is a field of the
+                    # evolving B/rho, so the resistive CFL is recomputed
+                    # from the state each cycle (diff_dt.c:75-77)
+                    from .microphysics.diffusion import \
+                        diff_dt_resistive_state
+                    dt_diff_t = jnp.minimum(
+                        dt_diff, diff_dt_resistive_state(
+                            state, sim, grid, cour_no, eta_ohm, q_ad,
+                            d_ind))
+                    dt = jnp.minimum(dt, dt_diff_t)
+                else:
+                    dt = jnp.minimum(dt, dt_diff)
                 state = integrate_diff(state, dt, sim, grid, nu_iso,
                                        kappa_iso, cooling_fn,
                                        eta_ohm=eta_ohm, q_ad=q_ad,
                                        nu_aniso=nu_aniso,
-                                       kappa_aniso=kappa_aniso)
+                                       kappa_aniso=kappa_aniso,
+                                       d_ind=d_ind)
                 state = bvals.apply_bc(state, grid, sim, problem)
 
             # radiation BEFORE hydro — it may shrink dt (main.c:541-556;

@@ -1,0 +1,124 @@
+"""Round-5 problem generators vs reference C builds: noh, twoibw,
+cshock1d (single-fluid ambipolar), shkset3d (rj2a_3d), strat.
+
+Goldens per tests/golden/README.md recipe; each deck is the reference's
+own tst/ deck with tab output (dat_fmt=%25.17e) every cycle.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from atmospheric_athena_tpu import Simulation
+
+HERE = os.path.dirname(__file__)
+GOLD = os.path.join(HERE, "golden")
+
+
+def _run_compare(deck, npz, problem, ncyc, fields, atol1, atolN,
+                 overrides=(), eager=False, **simkw):
+    gold = np.load(os.path.join(GOLD, npz))
+    s = Simulation.from_file(
+        os.path.join(GOLD, deck), problem=problem,
+        cmdline=["time/nlim=%d" % ncyc, "time/tlim=9e9"] + list(overrides),
+        **simkw)
+    traj = gold["traj"]
+    ncols = gold["cons1"].shape[1]
+    nsp = ncols - len(fields)
+    import contextlib
+    import jax
+    for cyc in range(1, ncyc + 1):
+        # eager=True: XLA's jit-mode FMA contraction perturbs ulps that
+        # flip Roe-fallback / limiter ties at strong shocks and exact
+        # interfaces (see tests/test_sr.py for the full analysis); the
+        # un-jitted path reproduces the reference C arithmetic exactly.
+        with (jax.disable_jit() if eager else contextlib.nullcontext()):
+            s.step()
+        assert float(s.state.time) == pytest.approx(traj[cyc - 1][0],
+                                                    rel=1e-5), cyc
+        if cyc == 1:
+            ref, atol = gold["cons1"], atol1
+        elif cyc == ncyc:
+            ref, atol = gold["cons%d" % ncyc], atolN
+        else:
+            continue
+        sl = s.grid.interior()
+        U = np.asarray(s.state.U)
+        B = np.asarray(s.state.Bcc) if s.sim.mhd else None
+        ib = 5 if s.sim.adiabatic else 4
+        arrs = []
+        for f in fields:
+            if f == "E":
+                arrs.append(U[4][sl].ravel())
+            elif f.startswith("B"):
+                arrs.append(B[int(f[1]) - 1][sl].ravel())
+            elif f == "d":
+                arrs.append(U[0][sl].ravel())
+            else:       # M1..M3
+                arrs.append(U[int(f[1])][sl].ravel())
+        # per-field scale floored at 1e-3 of the largest field so a
+        # dynamically-zero component (e.g. B1 in strat's uniform-By
+        # geometry, where the reference keeps exact zeros and our CT
+        # rounding leaves ~1e-26) is judged against the problem's
+        # magnitude, not against noise
+        gmax = max(np.abs(ref[:, nsp + i]).max()
+                   for i in range(len(fields)))
+        for i, (m, nm) in enumerate(zip(arrs, fields)):
+            r = ref[:, nsp + i]
+            scale = max(np.abs(r).max(), 1e-3 * gmax, 1e-30)
+            np.testing.assert_allclose(
+                m, r, rtol=0, atol=atol * scale,
+                err_msg="%s cyc%d" % (nm, cyc))
+    return s
+
+
+@pytest.mark.slow
+def test_noh2d_10cycles():
+    """Noh implosion (noh.c): strong-shock + analytic inflow BCs.
+
+    The deck's embedded configure line requests --enable-h-correction,
+    which the golden build and the autodetected SimConfig both honor."""
+    _run_compare("athinput.noh", "noh2d.npz", "noh", 10,
+                 ["d", "M1", "M2", "M3", "E"], 1e-11, 1e-9, eager=True,
+                 gas="hydro", flux="roe", order="2", integrator="ctu")
+
+
+@pytest.mark.slow
+def test_twoibw_30cycles():
+    """Two interacting blast waves (twoibw.c)."""
+    _run_compare("athinput.twoibw", "twoibw.npz", "twoibw", 30,
+                 ["d", "M1", "M2", "M3", "E"], 1e-11, 1e-9,
+                 gas="hydro", flux="roe", order="2", integrator="ctu")
+
+
+@pytest.mark.slow
+def test_cshock1d_30cycles():
+    """Oblique C-shock (cshock1d.c): semi-analytic RK4 init + the
+    single-fluid ambipolar EMF eta_AD = Q_AD B^2/rho (get_eta.c:110)."""
+    _run_compare("athinput.cshock1d", "cshock1d.npz", "cshock1d", 30,
+                 ["d", "M1", "M2", "M3", "B1", "B2", "B3"], 1e-11, 1e-9,
+                 gas="mhd", eos="isothermal", flux="roe", order="2",
+                 integrator="ctu")
+
+
+@pytest.mark.slow
+def test_shkset3d_rj2a_10cycles():
+    """Oblique 3D MHD shock (shkset3d.c) on rj2a_3d: unit-cell volume
+    averaging + the six translation-symmetry ghost remaps."""
+    _run_compare("athinput.rj2a3d", "rj2a3d_shkset3d.npz", "shkset3d",
+                 10, ["d", "M1", "M2", "M3", "E", "B1", "B2", "B3"],
+                 1e-11, 1e-9, eager=True,
+                 gas="mhd", flux="roe", order="2", integrator="ctu")
+
+
+@pytest.mark.slow
+def test_strat_10cycles():
+    """Stratified MRI box (strat.c): two-potential split (VertGrav
+    StaticGravPot + UnstratifiedDisk ShearingBoxPot), hydrostatic
+    outflow-z BCs, ran2 perturbations, D_FLOOR userwork."""
+    _run_compare("athinput.strat", "strat.npz", "strat", 10,
+                 ["d", "M1", "M2", "M3", "B1", "B2", "B3"], 1e-11, 1e-8,
+                 eager=True,
+                 gas="mhd", eos="isothermal", flux="roe", order="2",
+                 integrator="ctu", shearing_box=True)
