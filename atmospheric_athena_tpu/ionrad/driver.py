@@ -416,6 +416,13 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
         rates_fn, update_fn, _fused = pallas_rad.build(
             sim, grid, ion, d, ke_be, M1, M2, M3, e_init, e_th_init,
             x_init, d_nlim, inlet=inlet)
+        use_batch = (ion.batch_iters > 1 and tcoarse is None
+                     and carry is None and niter_cap is None
+                     and not return_carry)
+        if use_batch:
+            batch_fn = pallas_rad.build_batch(
+                sim, grid, ion, d, M1, M2, M3, e_init, x_init,
+                ion.batch_iters, inlet=inlet)
         if inlet is not None:
             Fin0 = jnp.zeros((), d.dtype)   # unused in inlet mode
         elif abs(direction) == 1:
@@ -470,6 +477,82 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
                 stop=jnp.zeros((), bool),
                 eflux=(jnp.zeros(d.shape, d.dtype),
                        jnp.zeros(d.shape[:2] + (1,), d.dtype)))
+        if use_batch:
+            # K-substep batched sub-cycle (pallas_rad.build_batch): one
+            # reference-exact iteration seeds dt_lim, then each loop
+            # round advances up to K substeps per kernel launch with a
+            # conservative schedule dt_j = THETA*dt_lim; an invalid
+            # batch (any substep's dt above any block's limit minimum)
+            # is DISCARDED and replaced by one reference-exact
+            # iteration, so every accepted substep respected
+            # dt <= min(dt_chem, dt_therm) exactly like the reference.
+            # Stop criteria are evaluated at batch boundaries (overshoot
+            # bound: K-1 substeps, each still within the per-iteration
+            # caps).
+            THETA = 0.75
+            K = ion.batch_iters
+            seed = bodyP(_Carry(
+                E=E0, s0=s00,
+                last_sign=jnp.ones(d.shape, jnp.int32),
+                sign_count=jnp.zeros((), jnp.int32),
+                dt_done=jnp.zeros((), d.dtype),
+                dt_new=dt0,
+                niter=jnp.zeros((), jnp.int32),
+                stop=jnp.zeros((), bool),
+                eflux=(jnp.zeros(d.shape, d.dtype),
+                       jnp.zeros(d.shape[:2] + (1,), d.dtype))))
+            # dt_lim for the next batch: recompute the limits once on
+            # the seeded state via the rates kernel
+            _, _, _, _, _, dtc0, dtt0 = rates_fn(seed.s0, seed.E,
+                                                 seed.last_sign, Fin0)
+            carryB = (seed, jnp.minimum(dtc0, dtt0))
+
+            def bodyB(c):
+                cr, dt_lim = c
+                dt_limit = dt0
+                remaining = dt_limit - cr.dt_done
+                dt_b = THETA * dt_lim
+                js = jnp.arange(K, dtype=d.dtype)
+                dts = jnp.clip(remaining - js * dt_b, 0.0, dt_b)
+                nleft = (ion.maxiter - cr.niter).astype(d.dtype)
+                dts = jnp.where(js < nleft, dts, 0.0)
+                (s02, E2, ncode, eflux2, viol, dti_max, dtc_m, dtt_m,
+                 ok) = batch_fn(cr.s0, cr.E, cr.last_sign, dts, Fin0)
+                nsub = jnp.sum(dts > 0.0).astype(jnp.int32)
+                dt_done2 = jnp.minimum(cr.dt_done + jnp.sum(dts),
+                                       dt_limit)
+
+                def accept(_):
+                    range_hit = viol > MAXCELLCOUNT
+                    dt_h = cour_no / dti_max
+                    cfl_hit = dt_h < dt_done2
+                    hydro_done = dt_done2 >= dt_limit
+                    stop = range_hit | hydro_done | cfl_hit
+                    dt_new = jnp.where(
+                        range_hit | cfl_hit, dt_done2, cr.dt_new)
+                    return (_Carry(E2, s02, ncode, cr.sign_count,
+                                   dt_done2, dt_new, cr.niter + nsub,
+                                   stop, eflux2),
+                            jnp.minimum(dtc_m, dtt_m))
+
+                def fallback(_):
+                    # reference-exact single iteration from the
+                    # pre-batch state; refresh dt_lim from its rates
+                    cr2 = bodyP(cr)
+                    _, _, _, _, _, dtc1, dtt1 = rates_fn(
+                        cr2.s0, cr2.E, cr2.last_sign, Fin0)
+                    return cr2, jnp.minimum(dtc1, dtt1)
+
+                return jax.lax.cond(ok > 0.0, accept, fallback,
+                                    operand=None)
+
+            def condB(c):
+                cr, _ = c
+                return (~cr.stop) & (cr.niter < ion.maxiter)
+
+            outB, _ = jax.lax.while_loop(condB, bodyB, carryB)
+            return _finish(outB, outB.eflux)
+
         out = jax.lax.while_loop(_cap_cond(condP, init), bodyP, init)
         if return_carry:
             return out

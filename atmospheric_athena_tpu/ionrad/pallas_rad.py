@@ -81,7 +81,7 @@ def supported(sim: SimConfig, grid: GridConfig, ion: IonConfig) -> bool:
             and grid.Nx[1] % 8 == 0 and _by(grid.Nx[1]) > 0)
 
 
-def _sweep_x(s0, Fin, dx1, cell_len, ion: IonConfig):
+def _sweep_x(s0, Fin, dx1, cell_len, ion: IonConfig, fast=False):
     """dir=-1 plane sweep on a (by, NX) block — the axis-0 ascending case of
     plane.get_ph_rate_plane, with the attenuation accumulated in the log
     domain: T_incl = exp(-cumsum(tau)), the cumulative sum evaluated as a
@@ -95,7 +95,7 @@ def _sweep_x(s0, Fin, dx1, cell_len, ion: IonConfig):
     the sub-cycle loop, not every iteration)."""
     n_H = s0 * (1.0 / ion.m_H)
     tau = ion.sigma_ph * n_H * dx1
-    etau = jnp.exp(-tau)
+    etau = None if fast else jnp.exp(-tau)
     n = s0.shape[-1]
     r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -111,7 +111,17 @@ def _sweep_x(s0, Fin, dx1, cell_len, ion: IonConfig):
     frac = F_faces / (Fin + 1e-12)
     idx = jax.lax.broadcasted_iota(jnp.int32, frac.shape, frac.ndim - 1)
     alive = (idx == 0) | (frac >= MINFLUXFRAC)
-    kph = alive[..., :n] * F_faces[..., :n] * (1.0 - etau) / (n_H * cell_len)
+    if fast:
+        # absorbed flux by the exact identity F_i*(1 - e^-tau_i) =
+        # F_i - F_{i+1} (F_{i+1} = F_i e^-tau): one exp fewer per cell
+        # per substep, identical quantity to different last-ulp rounding
+        # — used only by the BATCH kernel, whose path is not held to
+        # bitwise equality with the jnp reference formulation
+        absorbed = F_faces[..., :n] - F_faces[..., 1:]
+        kph = alive[..., :n] * absorbed / (n_H * cell_len)
+    else:
+        kph = (alive[..., :n] * F_faces[..., :n] * (1.0 - etau)
+               / (n_H * cell_len))
     eflux = jnp.where(alive, F_faces, 0.0)
     return kph, eflux[..., :n], eflux[..., n:]
 
@@ -383,3 +393,179 @@ def build(sim: SimConfig, grid: GridConfig, ion: IonConfig, d, ke_be,
                 jnp.min(dtc_p[..., 0, 0]), jnp.min(dtt_p[..., 0, 0]))
 
     return rates_fn, update_fn, fused_fn
+
+
+# ---------------------------------------------------------------------------
+# K-substep batched sub-cycle kernel (VERDICT r4 "batch k sub-iterations per
+# kernel launch"): each block loads the sub-cycle state ONCE, runs K explicit
+# substeps entirely in VMEM with a precomputed dt schedule, and writes the
+# state back once — ~K-fold less HBM traffic than the per-substep two-kernel
+# formulation (measured 1.5 ms/substep vs 3.4 at 256^3 f32 on v5e).
+#
+# Semantics vs the reference (ionrad_3d.c:919-1002):
+#   - the reference recomputes dt = global_min(per-cell dt_chem, dt_therm)
+#     before EVERY substep.  The batch uses the schedule dt_j = theta *
+#     dt_lim(batch start) (clipped to the remaining hydro dt), which is
+#     conservative whenever the limits do not shrink below theta within the
+#     batch; the kernel VALIDATES this per substep (dts[j] <= per-block
+#     limit minimum) and reports a per-block ok flag — on violation the
+#     caller discards the batch and falls back to reference-exact single
+#     iterations for that stretch, so every ACCEPTED substep provably
+#     respected dt <= min(limits) cell-by-cell, like the reference.
+#   - stop criteria (check_range cell count, CFL) are evaluated at batch
+#     boundaries, so a stop can overshoot by at most K-1 substeps (each of
+#     which still respected all per-iteration caps).  K = 1 reproduces the
+#     reference exactly; production decks opt in via batch_iters.
+# ---------------------------------------------------------------------------
+
+
+def _batch_kernel(dts_ref, s0_ref, E_ref, code_ref, d_ref, Msq_ref,
+                  Mmax_ref, ei_ref, xi_ref, *refs, sim: SimConfig,
+                  ion: IonConfig, dx1, k: int, with_inlet: bool):
+    from . import driver
+    if with_inlet:
+        inlet_ref = refs[0]
+        refs = refs[1:]
+        Fin = inlet_ref[...][0][..., :1]
+    else:
+        Fin = dts_ref[0, k]       # slot k of the SMEM vector is Fin
+    (s02_ref, E2_ref, ncode_ref, efb_ref, efx_ref, viol_ref, dti_ref,
+     dtc_ref, dtt_ref, ok_ref) = refs
+
+    s0 = s0_ref[...][0]
+    E = E_ref[...][0]
+    code = code_ref[...][0]
+    d = d_ref[...][0]
+    Msq = Msq_ref[...][0]
+    ke_be, d_nlim = _aux(d, Msq, sim, ion)
+    ei = ei_ref[...][0]
+    ethi = ei - ke_be
+    xi = xi_ref[...][0]
+    di = 1.0 / d
+
+    ok = jnp.ones((), jnp.float32)
+    dtype = s0.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    dtc_min = big
+    dtt_min = big
+    efb = jnp.zeros_like(s0)
+    efx = jnp.zeros_like(s0[..., :1])
+    viol_sum = jnp.zeros((), dtype)
+    for j in range(k):
+        dt = dts_ref[0, j]
+        lsn, scn = _unpack(code)
+        kph, efb_j, efx_j = _sweep_x(s0, Fin, dx1, dx1, ion, fast=True)
+        (nHdot, nsn, ncn, dtc_cell, edot,
+         dtt_cell) = driver.rates_percell(s0, E, d, ke_be, lsn, scn, kph,
+                                          d_nlim, sim, ion)
+        lim_j = jnp.minimum(jnp.min(dtc_cell), jnp.min(dtt_cell))
+        active = dt > 0.0
+        # schedule validity: every executed substep's dt must respect the
+        # per-cell limits of THIS block's cells at THIS substep
+        ok = jnp.where(active & (dt > lim_j), 0.0, ok)
+        E2, s02, viol = driver.update_percell(
+            s0, E, d, ke_be, nHdot, edot, kph, dt, d_nlim, ei, ethi, xi,
+            sim, ion, di=di)
+        # dt = 0 substeps (past the hydro-dt clip) are exact no-ops for
+        # E/s0 but would still advance the damping bookkeeping — freeze
+        # everything on inactive substeps.  (An in-kernel lax.cond skip
+        # measured SLOWER than computing-and-discarding — it breaks
+        # Mosaic's pipelining; the driver picks batch_iters so full
+        # batches dominate and dead substeps are rare.)
+        s0 = jnp.where(active, s02, s0)
+        E = jnp.where(active, E2, E)
+        code = jnp.where(active, _pack(nsn, ncn), code)
+        efb = jnp.where(active, efb_j, efb)
+        efx = jnp.where(active, efx_j, efx)
+        viol_sum = jnp.where(active, jnp.sum(viol), viol_sum)
+        dtc_min = jnp.where(active, jnp.min(dtc_cell), dtc_min)
+        dtt_min = jnp.where(active, jnp.min(dtt_cell), dtt_min)
+
+    qsq = Msq * di * di
+    if sim.adiabatic:
+        p = jnp.maximum(sim.gamma_1 * (E - 0.5 * d * qsq), TINY_NUMBER)
+        asq = sim.gamma * p * di
+    else:
+        asq = jnp.full_like(E, sim.iso_csound ** 2)
+    dti = (Mmax_ref[...][0] * di + jnp.sqrt(asq)) / dx1
+
+    s02_ref[...] = s0[None]
+    E2_ref[...] = E[None]
+    ncode_ref[...] = code[None]
+    efb_ref[...] = efb[None]
+    efx_ref[...] = efx[None]
+    viol_ref[...] = jnp.full(viol_ref.shape, viol_sum, viol_ref.dtype)
+    dti_ref[...] = jnp.full(dti_ref.shape, jnp.max(dti), dti_ref.dtype)
+    dtc_ref[...] = jnp.full(dtc_ref.shape, dtc_min, dtc_ref.dtype)
+    dtt_ref[...] = jnp.full(dtt_ref.shape, dtt_min, dtt_ref.dtype)
+    ok_ref[...] = jnp.full(ok_ref.shape, ok, ok_ref.dtype)
+
+
+def build_batch(sim: SimConfig, grid: GridConfig, ion: IonConfig, d,
+                M1, M2, M3, e_init, x_init, k: int, inlet=None):
+    """Returns batch_fn(s0, E, code, dts, Fin) ->
+    (s02, E2, ncode, (efb, efx), viol_last, dti_max, dtc_min_last,
+    dtt_min_last, ok) running k substeps per launch; `dts` is the
+    [k]-vector dt schedule (0 = inactive substep).  viol/dtc/dtt are from
+    the LAST ACTIVE substep; ok = 1.0 iff every active substep's dt
+    respected min(dt_chem, dt_therm) in every block."""
+    import functools as _ft
+    NZ, NY, NX = d.shape
+    by = _by(NY)
+    grid_dims = (NZ, NY // by)
+    interp = jax.default_backend() not in ("tpu",)
+    dt_f = d.dtype
+    dx1 = grid.dx[0]
+
+    Mmax = jnp.maximum(jnp.abs(M1), jnp.maximum(jnp.abs(M2), jnp.abs(M3)))
+    Msq = M1 ** 2 + M2 ** 2 + M3 ** 2
+
+    blk = (1, by, NX)
+    imap = lambda i, j: (i, j, 0)
+    fld = pl.BlockSpec(blk, imap)
+    efx_spec = pl.BlockSpec((1, by, 1), imap)
+    part = pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0))
+    pshape = jax.ShapeDtypeStruct(grid_dims + (8, 128), dt_f)
+    fshape = jax.ShapeDtypeStruct((NZ, NY, NX), dt_f)
+    ishape = jax.ShapeDtypeStruct((NZ, NY, NX), jnp.int32)
+    exshape = jax.ShapeDtypeStruct((NZ, NY, 1), dt_f)
+    smem = pl.BlockSpec((1, k + 1), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+    with_inlet = inlet is not None
+    if with_inlet:
+        inlet_b = jnp.broadcast_to(
+            jnp.asarray(inlet, dt_f).reshape(NZ, NY)[..., None],
+            (NZ, NY, 128))
+        inl_spec = [pl.BlockSpec((1, by, 128), imap)]
+    else:
+        inl_spec = []
+
+    call = pl.pallas_call(
+        _ft.partial(_batch_kernel, sim=sim, ion=ion, dx1=dx1, k=k,
+                    with_inlet=with_inlet),
+        grid=grid_dims,
+        in_specs=[smem] + [fld] * 8 + inl_spec,
+        out_specs=(fld, fld, fld, fld, efx_spec, part, part, part, part,
+                   part),
+        out_shape=(fshape, fshape, ishape, fshape, exshape, pshape,
+                   pshape, pshape, pshape, pshape),
+        interpret=interp,
+        compiler_params=_cparams(),
+    )
+
+    def batch_fn(s0, E, code, dts, Fin):
+        extra = (inlet_b,) if with_inlet else ()
+        scal = jnp.concatenate(
+            [jnp.asarray(dts, dt_f).reshape(-1),
+             jnp.asarray(0.0 if Fin is None else Fin,
+                         dt_f).reshape(1)]).reshape(1, k + 1)
+        (s02, E2, ncode, efb, efx, viol_p, dti_p, dtc_p, dtt_p,
+         ok_p) = call(scal, s0, E, code, d, Msq, Mmax, e_init, x_init,
+                      *extra)
+        return (s02, E2, ncode, (efb, efx),
+                jnp.sum(viol_p[..., 0, 0]), jnp.max(dti_p[..., 0, 0]),
+                jnp.min(dtc_p[..., 0, 0]), jnp.min(dtt_p[..., 0, 0]),
+                jnp.min(ok_p[..., 0, 0]))
+
+    return batch_fn
