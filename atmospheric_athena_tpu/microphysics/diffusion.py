@@ -48,7 +48,8 @@ def diff_dt(sim: SimConfig, grid: GridConfig, cour_no: float,
 
 def diff_dt_resistive_state(state: State, sim: SimConfig,
                             grid: GridConfig, cour_no: float,
-                            eta_ohm: float, q_ad: float, d_ind: float):
+                            eta_ohm: float, q_ad: float, d_ind: float,
+                            q_hall: float = 0.0):
     """State-dependent resistive CFL (diff_dt.c:68-77): separate minima
     qb/eta_Ohm and qb/eta_AD with qb = CourNo dx^2/(2 ndim) at the root
     level (0.25*qa*4), eta_AD = Q_AD B^2/rho^(1+d_ind) maximized over
@@ -62,8 +63,15 @@ def diff_dt_resistive_state(state: State, sim: SimConfig,
     Bcc = state.Bcc
     Bsq = (Bcc[0] ** 2 + Bcc[1] ** 2 + Bcc[2] ** 2)[sl]
     rho = state.U[(ID,) + sl]
-    eta_ad_max = jnp.max(q_ad * Bsq / rho ** (1.0 + d_ind))
-    dt = qb / eta_ad_max
+    dt = jnp.asarray(jnp.inf, Bsq.dtype)
+    if q_ad > 0.0:
+        eta_ad_max = jnp.max(q_ad * Bsq / rho ** (1.0 + d_ind))
+        dt = jnp.minimum(dt, qb / eta_ad_max)
+    if q_hall > 0.0:
+        # diff_dt.c:72-74: 0.5*fac*qb/eta_Hall, fac = ndim
+        fac = float(len(axes))
+        eta_h_max = jnp.max(q_hall * jnp.sqrt(Bsq) / rho ** d_ind)
+        dt = jnp.minimum(dt, 0.5 * fac * qb / eta_h_max)
     if eta_ohm > 0.0:
         dt = jnp.minimum(dt, qb / eta_ohm)
     return dt
@@ -134,14 +142,14 @@ def conduction_iso(state: State, dt, sim: SimConfig, grid: GridConfig,
 def integrate_diff(state: State, dt, sim: SimConfig, grid: GridConfig,
                    nu_iso=0.0, kappa_iso=0.0, cooling_fn=None,
                    eta_ohm=0.0, q_ad=0.0, nu_aniso=0.0,
-                   kappa_aniso=0.0, d_ind=None) -> State:
+                   kappa_aniso=0.0, d_ind=None, q_hall=0.0) -> State:
     """Operator-split diffusion update (integrate_diff, main.c:530-539).
     Sub-cycling to the diffusion CFL is handled by the caller clamping the
     hydro dt (new_dt also bounded by diff_dt)."""
-    if (eta_ohm > 0.0 or q_ad > 0.0) and sim.mhd:
+    if (eta_ohm > 0.0 or q_ad > 0.0 or q_hall > 0.0) and sim.mhd:
         from .resistivity import resistivity
         state = resistivity(state, dt, sim, grid, eta_ohm, q_ad=q_ad,
-                            d_ind=d_ind)
+                            d_ind=d_ind, q_hall=q_hall)
     if nu_iso > 0.0:
         state = viscosity_iso(state, dt, sim, grid, nu_iso)
     if nu_aniso > 0.0 and sim.mhd:

@@ -122,3 +122,16 @@ def test_strat_10cycles():
                  eager=True,
                  gas="mhd", eos="isothermal", flux="roe", order="2",
                  integrator="ctu", shearing_box=True)
+
+
+@pytest.mark.slow
+def test_hall_drift_20cycles():
+    """Hall drift (hall_drift.c): the split Bcor/Jcor Hall corrector +
+    hyper-diffusion (EField_Hall, resistivity.c:505-680) vs the
+    reference built with --enable-resistivity, 64^2, 20 cycles."""
+    _run_compare("athinput.hall_drift", "hall_drift.npz", "hall_drift",
+                 20, ["d", "M1", "M2", "M3", "B1", "B2", "B3"],
+                 1e-11, 1e-9,
+                 overrides=["domain1/Nx1=64", "domain1/Nx2=64"],
+                 gas="mhd", eos="isothermal", flux="roe", order="2",
+                 integrator="ctu")
