@@ -129,23 +129,24 @@ def point_source_kph(s0, src, ndot, grid: GridConfig, ion: IonConfig,
     # trilinear gather of n_H at the sample points
     n_H = s0 * (1.0 / ion.m_H)
 
-    def trilinear(f):
-        i0 = [jnp.clip(jnp.floor(x).astype(jnp.int32), 0,
-                       n - 2) for x, n in zip(f, (Nx, Ny, Nz))]
-        w = [jnp.clip(x - i.astype(x.dtype), 0.0, 1.0)
-             for x, i in zip(f, i0)]
-        out = 0.0
-        for cz in (0, 1):
-            for cy in (0, 1):
-                for cx in (0, 1):
-                    wgt = ((w[0] if cx else 1 - w[0])
-                           * (w[1] if cy else 1 - w[1])
-                           * (w[2] if cz else 1 - w[2]))
-                    out = out + wgt * n_H[i0[2] + cz, i0[1] + cy,
-                                          i0[0] + cx]
-        return out
+    i0 = [jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 2)
+          for x, n in zip(fi, (Nx, Ny, Nz))]
+    w = [jnp.clip(x - i.astype(x.dtype), 0.0, 1.0)
+         for x, i in zip(fi, i0)]
 
-    nH_s = jnp.where(inside, trilinear(fi), 0.0)           # (nray,ns)
+    def _w8(cx, cy, cz):
+        return ((w[0] if cx else 1 - w[0])
+                * (w[1] if cy else 1 - w[1])
+                * (w[2] if cz else 1 - w[2]))
+
+    nH_s = 0.0
+    for cz in (0, 1):
+        for cy in (0, 1):
+            for cx in (0, 1):
+                nH_s = nH_s + _w8(cx, cy, cz) * n_H[i0[2] + cz,
+                                                    i0[1] + cy,
+                                                    i0[0] + cx]
+    nH_s = jnp.where(inside, nH_s, 0.0)                    # (nray,ns)
 
     # cumulative optical depth (exclusive) along each ray, then the
     # photons ABSORBED in each segment
@@ -159,12 +160,22 @@ def point_source_kph(s0, src, ndot, grid: GridConfig, ion: IonConfig,
     absorbed = ndot_ray_per_V * (jnp.exp(-tau_excl)
                                  - jnp.exp(-(tau_excl + dtau)))
 
-    # scatter-add into the containing cell (ionizations/s/volume)
-    ci = [jnp.clip(jnp.round(f).astype(jnp.int32), 0, n - 1)
-          for f, n in zip(fi, (Nx, Ny, Nz))]
-    flat = (ci[2] * (Ny * Nx) + ci[1] * Nx + ci[0]).reshape(-1)
-    dep = jnp.where(inside, absorbed, 0.0).reshape(-1)
-    photo = jnp.zeros(Nz * Ny * Nx, s0.dtype).at[flat].add(dep)
+    # cloud-in-cell scatter-add (ionizations/s/volume): spread each
+    # segment's absorbed photons over the 8 surrounding cells with the
+    # SAME trilinear weights used for the gather.  Weights sum to 1 so
+    # photon conservation is exact; vs nearest-cell deposition this cuts
+    # the per-cell ray-count noise by ~an order of magnitude (the
+    # reference instead splits rays adaptively until every cell is
+    # crossed by >= MINRAYNUMBER rays, ionradpoint_3d.c:9-51)
+    dep = jnp.where(inside, absorbed, 0.0)
+    photo = jnp.zeros(Nz * Ny * Nx, s0.dtype)
+    for cz in (0, 1):
+        for cy in (0, 1):
+            for cx in (0, 1):
+                flat = ((i0[2] + cz) * (Ny * Nx) + (i0[1] + cy) * Nx
+                        + (i0[0] + cx)).reshape(-1)
+                photo = photo.at[flat].add(
+                    (_w8(cx, cy, cz) * dep).reshape(-1))
     photo = photo.reshape(Nz, Ny, Nx)
 
     # rate per neutral atom: kph = photo/n_H

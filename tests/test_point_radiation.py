@@ -87,11 +87,18 @@ def test_point_source_analytic_attenuation():
     dx = grid.dx[0]
     ana = SIGMA * Q * np.exp(-SIGMA * nH_n * r) / (4 * np.pi * r ** 2)
     # shell averages between 4 dx and 0.45 L (inside the ray fan's
-    # fully-covered sphere)
+    # fully-covered sphere): <= 1% of analytic beyond 6 dx with the
+    # cloud-in-cell deposition; the 4 dx shell carries the expected
+    # O(dx^2/r^2) cell-average + CIC-smoothing excess (~1.3%, both
+    # second-order terms of the convex 1/r^2 profile)
     for r0 in np.linspace(4 * dx, 0.45 * L, 8):
         m = (r > r0 - dx) & (r < r0 + dx)
         ratio = kph[m].mean() / ana[m].mean()
-        assert ratio == pytest.approx(1.0, rel=0.06), (r0 / dx, ratio)
+        rel = 0.02 if r0 < 6 * dx else 0.01
+        assert ratio == pytest.approx(1.0, rel=rel), (r0 / dx, ratio)
+        # per-cell (not just shell-mean) fidelity: median |error| <= 1%
+        med = np.median(np.abs(kph[m] / ana[m] - 1.0))
+        assert med < 0.013, (r0 / dx, med)
 
 
 @pytest.mark.slow
