@@ -38,9 +38,15 @@ def sr_prim1d_to_cons1d(W, sim: SimConfig):
     vsq = Vx ** 2 + Vy ** 2 + Vz ** 2
     U0 = 1.0 / (1.0 - vsq)
     wU0sq = (d + sim.gamma / sim.gamma_1 * P) * U0
-    return jnp.stack([jnp.sqrt(U0) * d,
-                      wU0sq * Vx, wU0sq * Vy, wU0sq * Vz,
-                      wU0sq - P])
+    D = jnp.sqrt(U0) * d
+    out = jnp.stack([D, wU0sq * Vx, wU0sq * Vy, wU0sq * Vz,
+                     wU0sq - P])
+    if W.shape[0] > 5:
+        # passive scalars: s = D*r (lab-frame density weighting).  The
+        # reference cannot run SR with scalars at all (hlle_sr.c:30-32
+        # #errors on NSCALARS>0) — this extends it
+        out = jnp.concatenate([out, W[5:] * D[None]], 0)
+    return out
 
 
 def sr_cons1d_to_prim1d(U, sim: SimConfig):
@@ -91,7 +97,11 @@ def sr_cons1d_to_prim1d(U, sim: SimConfig):
     Vy = My * vOverM
     Vz = Mz * vOverM
     P = g1 * ((E - Mx * Vx - My * Vy - Mz * Vz) - d)
-    return jnp.stack([d, Vx, Vy, Vz, P])
+    out = jnp.stack([d, Vx, Vy, Vz, P])
+    if U.shape[0] > 5:
+        # passive scalars: primitive r = s/D (see sr_prim1d_to_cons1d)
+        out = jnp.concatenate([out, U[5:] / U[0][None]], 0)
+    return out
 
 
 def sr_check_prim1d(U, sim: SimConfig):
@@ -158,7 +168,13 @@ def sr_mhd_prim1d_to_cons1d(W, Bx, sim: SimConfig):
     My = wU0sq * Vy + Bsq * Vy - vDotB * By
     Mz = wU0sq * Vz + Bsq * Vz - vDotB * Bz
     E = wU0sq - P + (1.0 + vsq) * Bsq / 2.0 - vDotB ** 2 / 2.0
-    return jnp.stack([jnp.sqrt(U0) * d, Mx, My, Mz, E, By, Bz])
+    D = jnp.sqrt(U0) * d
+    out = jnp.stack([D, Mx, My, Mz, E, By, Bz])
+    if W.shape[0] > 7:
+        # passive scalars s = D*r (reference SR solvers #error on
+        # NSCALARS>0, hlle_sr.c:30-32 — extension)
+        out = jnp.concatenate([out, W[7:] * D[None]], 0)
+    return out
 
 
 def _nr_scalars(d, Bsq, Msq, Ssq, Q, gamma_1, gamma):
@@ -309,7 +325,10 @@ def sr_mhd_cons1d_to_prim1d(U, Bx, sim: SimConfig):
                      jnp.where(sup_v, Vy3, jnp.where(neg_v, 1.0, 2.0)))
     Vz_o = jnp.where(good | neg_p, Vz,
                      jnp.where(sup_v, Vz3, jnp.where(neg_v, 1.0, 2.0)))
-    return jnp.stack([d_out, Vx_o, Vy_o, Vz_o, P_out, U[5], U[6]])
+    out = jnp.stack([d_out, Vx_o, Vy_o, Vz_o, P_out, U[5], U[6]])
+    if U.shape[0] > 7:
+        out = jnp.concatenate([out, U[7:] / U[0][None]], 0)
+    return out
 
 
 def sr_mhd_check_prim1d(U, Bx, sim: SimConfig):

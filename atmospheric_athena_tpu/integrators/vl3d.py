@@ -69,8 +69,10 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     if sr:
         # SR hydro (integrate_3d_vl_sr.c) / SR MHD (same file, MHD
         # sections: Noble NR inversion + the identical CT machinery):
-        # same step map with the SR variable conversions
-        assert sim.nscalars == 0, "scalars pending in SR"
+        # same step map with the SR variable conversions.  Passive
+        # scalars are an EXTENSION: the reference's SR solvers #error on
+        # NSCALARS>0 (hlle_sr.c:30-32); here they advect as s = D*r with
+        # mass-flux-upwinded fluxes like the Newtonian solvers
         from ..eos_sr import sr_cons1d_to_prim1d, sr_prim1d_to_cons1d
         from .sweep import var_perm
         # convert ONCE in physical order (the reference computes W per
@@ -83,7 +85,8 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             from ..eos_sr import (sr_mhd_cons1d_to_prim1d,
                                   sr_mhd_prim1d_to_cons1d)
             U7x, _Bx0 = _sweep_pack(state.U, state.Bcc, 0, sim)
-            Wphys = sr_mhd_cons1d_to_prim1d(U7x, _Bx0, sim)[:5]
+            _Wf = sr_mhd_cons1d_to_prim1d(U7x, _Bx0, sim)
+            Wphys, rphys = _Wf[:5], _Wf[7:]
         else:
             Wphys = sr_cons1d_to_prim1d(state.U, sim)
     # exact_div: XLA folds division by a constant dx into multiplication by
@@ -108,10 +111,14 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     for a in axes:
         U1d, Bxc = _sweep_pack(U, Bcc, a, sim)
         if sr:
-            W = Wphys[var_perm(a, sim), ...]
             if sim.mhd:
+                W = Wphys[var_perm(a, sim)[:5], ...]
                 a1, a2 = (a + 1) % 3, (a + 2) % 3
                 W = jnp.concatenate([W, Bcc[a1][None], Bcc[a2][None]], 0)
+                if sim.nscalars:
+                    W = jnp.concatenate([W, rphys], 0)
+            else:
+                W = Wphys[var_perm(a, sim), ...]
             Wl = _sh(W, -1, a)
             Wr = W
             if sim.mhd:
@@ -178,17 +185,22 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     if sr:
         if sim.mhd:
             U7h, _Bxh0 = _sweep_pack(Uhalf, Bcch, 0, sim)
-            Whalf_phys = sr_mhd_cons1d_to_prim1d(U7h, _Bxh0, sim)[:5]
+            _Wfh = sr_mhd_cons1d_to_prim1d(U7h, _Bxh0, sim)
+            Whalf_phys, rhalf = _Wfh[:5], _Wfh[7:]
         else:
             Whalf_phys = sr_cons1d_to_prim1d(Uhalf, sim)
     Fp2, FByz2 = {}, {}
     for a in axes:
         U1d, Bxc = _sweep_pack(Uhalf, Bcch, a, sim)
         if sr:
-            W = Whalf_phys[var_perm(a, sim), ...]
             if sim.mhd:
+                W = Whalf_phys[var_perm(a, sim)[:5], ...]
                 a1, a2 = (a + 1) % 3, (a + 2) % 3
                 W = jnp.concatenate([W, Bcch[a1][None], Bcch[a2][None]], 0)
+                if sim.nscalars:
+                    W = jnp.concatenate([W, rhalf], 0)
+            else:
+                W = Whalf_phys[var_perm(a, sim), ...]
             Wm, Wp_ = reconstruct.lr_states(W, Bxc, dtodx[a], sim,
                                             axis=2 - a)
             Wl = _sh(Wp_, -1, a)
@@ -323,6 +335,8 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
                     U7 = jnp.concatenate([Uin[:5], z[None], z[None]], 0)
                     Wf = sr_mhd_vsq1d_fix(U7, z, sim)
                     Uf = _w2u(Wf[:5], sim)
+                    # the vsq fix rewrites only d,M,E; scalars pass through
+                    Uf = jnp.concatenate([Uf[:5], Uin[5:]], 0)
                     return jnp.where(bad2[None], Uf, Uin)
 
                 return jax.lax.cond(jnp.any(bad2), apply,

@@ -43,8 +43,8 @@ def step_mhd_1d(state: State, dt, sim: SimConfig, grid: GridConfig,
     sr = sim.special_relativity
     axes = [a for a in range(3) if grid.active(a)]
     assert len(axes) == 1, "VL MHD supported in 1D only (2D CT pending)"
-    if sr:
-        assert sim.nscalars == 0, "scalars pending in SR MHD"
+    # SR passive scalars are an extension (reference SR solvers #error
+    # on NSCALARS>0); the SR converters and flux dispatch carry s = D*r
     a = axes[0]
     a1, a2 = (a + 1) % 3, (a + 2) % 3
     dtodx = dt / grid.dx[a]
@@ -151,8 +151,8 @@ def step_mhd_2d(state: State, dt, sim: SimConfig, grid: GridConfig,
     assert axes == [0, 1], "2D VL MHD needs x1/x2 active"
     sr = sim.special_relativity
     if sr:
-        # integrate_2d_vl_sr.c: same step map with the SR conversions
-        assert sim.nscalars == 0, "scalars pending in SR MHD"
+        # integrate_2d_vl_sr.c: same step map with the SR conversions;
+        # SR passive scalars are an extension (see step_mhd_1d note)
         assert not sim.first_order_flux_correction, \
             "FOFC pending in 2D VL SR-MHD"
         from ..eos_sr import (sr_mhd_cons1d_to_prim1d,

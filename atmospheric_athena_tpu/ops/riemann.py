@@ -774,7 +774,16 @@ def fluxes(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
             solver = table[sim.flux]
         except KeyError:
             raise NotImplementedError(f"SR flux={sim.flux} not implemented")
-        return solver(Ul, Ur, Wl, Wr, Bxi, sim, etah=etah)
+        nb = 7 if sim.mhd else 5
+        F = solver(Ul[:nb], Ur[:nb], Wl[:nb], Wr[:nb], Bxi, sim, etah=etah)
+        if sim.nscalars and Wl.shape[0] > nb:
+            # passive-scalar fluxes upwinded on the mass-flux sign, the
+            # Newtonian convention (roe.c:315-321).  The reference's SR
+            # solvers #error on NSCALARS>0 (hlle_sr.c:30-32) — extension
+            Fs = jnp.where(F[0] >= 0.0, F[0][None] * Wl[nb:],
+                           F[0][None] * Wr[nb:])
+            F = jnp.concatenate([F, Fs], 0)
+        return F
     try:
         solver = SOLVERS[sim.flux]
     except KeyError:

@@ -322,3 +322,106 @@ def test_sr_fofc_vsq_fix():
         s1.step()
     np.testing.assert_array_equal(np.asarray(s0.state.U),
                                   np.asarray(s1.state.U))
+
+
+def test_sr_passive_scalar_advection():
+    """SR passive scalars (an EXTENSION: every reference SR solver
+    #errors on NSCALARS>0, hlle_sr.c:30-32).  A scalar stripe in a
+    uniform v=0.5 flow advects with the fluid: conserved total, bounded
+    r, and the stripe centroid moves at v*t."""
+    import jax.numpy as jnp
+    from atmospheric_athena_tpu import state as state_mod
+    from atmospheric_athena_tpu.config import GridConfig
+    from atmospheric_athena_tpu.integrators import vl_lowd
+
+    N = 64
+    sim = SimConfig(special_relativity=True, integrator="vl", order="2p",
+                    flux="hllc", nscalars=1)
+    grid = GridConfig(Nx=(N, 1, 1), xmin=(0.0, 0.0, 0.0),
+                      xmax=(1.0, 1.0, 1.0),
+                      bc=((4, 4), (4, 4), (4, 4)))
+    st = state_mod.zeros(sim, grid)
+    x = np.asarray(grid.cc_coords(0))
+    d0, v0, P0 = 1.0, 0.5, 1.0
+    r0 = np.where((x > 0.25) & (x < 0.5), 1.0, 0.0)
+    W = np.zeros((6,) + grid.padded_shape())
+    W[0] = d0
+    W[1] = v0
+    W[4] = P0
+    W[5] = r0[None, None, :]
+    U = np.asarray(sr_prim1d_to_cons1d(jnp.asarray(W), sim))
+    st = st.replace(U=st.U.at[...].set(jnp.asarray(U)))
+
+    from atmospheric_athena_tpu.bvals import apply_bc
+    dt = 0.25 * grid.dx[0] / 1.0          # well under the light cone
+    nstep = 40
+    for _ in range(nstep):
+        st = apply_bc(st, grid, sim)
+        st = vl_lowd.step(st, dt, sim, grid)
+
+    sl = grid.interior()
+    D = np.asarray(st.U[0])[sl].ravel()
+    s1 = np.asarray(st.U[5])[sl].ravel()
+    r1 = s1 / D
+    x_a = x[grid.lo(0):grid.hi(0) + 1]
+    # conservation of the total scalar mass (periodic box)
+    tot0 = (np.asarray(U[5]))[0, 0, grid.lo(0):grid.hi(0) + 1].sum()
+    np.testing.assert_allclose(s1.sum(), tot0, rtol=1e-12)
+    # boundedness (upwind advection cannot overshoot)
+    assert r1.min() > -1e-12 and r1.max() < 1.0 + 1e-12
+    # centroid displacement = v*t (periodic wrap not reached)
+    c0 = 0.375
+    c1 = (x_a * r1).sum() / r1.sum()
+    np.testing.assert_allclose(c1 - c0, v0 * dt * nstep, atol=2 * grid.dx[0])
+
+
+@pytest.mark.slow
+def test_sr_mhd_3d_scalar_conservation():
+    """3D VL SR-MHD with a passive scalar (extension; see above):
+    conserved total and bounded concentration through a blast-like
+    pressure pulse."""
+    import jax.numpy as jnp
+    from atmospheric_athena_tpu import state as state_mod
+    from atmospheric_athena_tpu.config import GridConfig
+    from atmospheric_athena_tpu.eos_sr import sr_mhd_prim1d_to_cons1d
+    from atmospheric_athena_tpu.bvals import apply_bc
+    from atmospheric_athena_tpu.integrators import vl3d
+
+    N = 16
+    sim = SimConfig(gas="mhd", special_relativity=True, integrator="vl",
+                    order="2p", flux="hlld", nscalars=1)
+    grid = GridConfig(Nx=(N, N, N), xmin=(-0.5,) * 3, xmax=(0.5,) * 3,
+                      bc=((4, 4), (4, 4), (4, 4)))
+    st = state_mod.zeros(sim, grid)
+    shp = grid.padded_shape()
+    cc = [np.asarray(grid.cc_coords(a)) for a in range(3)]
+    r2 = (cc[0][None, None, :] ** 2 + cc[1][None, :, None] ** 2
+          + cc[2][:, None, None] ** 2)
+    W = np.zeros((8,) + shp)
+    W[0] = 1.0
+    W[4] = np.where(r2 < 0.125 ** 2, 10.0, 0.1)
+    W[5] = 0.1                                   # By
+    W[7] = np.where(r2 < 0.125 ** 2, 1.0, 0.0)   # scalar r
+    Bx = np.full(shp, 0.05)
+    U = np.asarray(sr_mhd_prim1d_to_cons1d(jnp.asarray(W), jnp.asarray(Bx),
+                                           sim))
+    Ufull = st.U.at[0:5].set(jnp.asarray(U[0:5]))
+    Ufull = Ufull.at[5].set(jnp.asarray(U[7]))
+    Bcc = st.Bcc.at[0].set(jnp.asarray(Bx)).at[1].set(jnp.asarray(W[5]))
+    B1i = st.B1i.at[...].set(jnp.asarray(Bx))
+    B2i = st.B2i.at[...].set(jnp.asarray(W[5]))
+    st = st.replace(U=Ufull, Bcc=Bcc, B1i=B1i, B2i=B2i)
+
+    dt = 0.2 * grid.dx[0]
+    sl = grid.interior()
+    tot0 = float(jnp.sum(st.U[5][sl]))
+    for _ in range(4):
+        st = apply_bc(st, grid, sim)
+        st = vl3d.step(st, dt, sim, grid)
+
+    s1 = np.asarray(st.U[5])[sl]
+    D1 = np.asarray(st.U[0])[sl]
+    np.testing.assert_allclose(s1.sum(), tot0, rtol=1e-11)
+    r1 = s1 / D1
+    assert r1.min() > -1e-10 and r1.max() < 1.0 + 1e-10
+    assert np.isfinite(np.asarray(st.U)[(slice(None),) + sl]).all()
