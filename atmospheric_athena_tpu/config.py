@@ -40,6 +40,7 @@ class SimConfig:
     ion_radiation: bool = False   # --enable-ion-radiation
     ion_radplane: bool = False    # --enable-ion-plane
     self_gravity: bool = False    # --with-gravity=
+    selfg_solver: str = "fft"     # fft (periodic) | fft_obc | multigrid
     dtype: str = "float64"        # --enable-single-precision toggles Real
     gamma: float = 5.0 / 3.0      # <problem>/gamma
     iso_csound: float = 1.0       # <problem>/iso_csound
@@ -235,7 +236,8 @@ def sim_config_from_par(par: ParameterDB, **overrides) -> SimConfig:
     kw = {}
     blk = "configure"
     if par.exist_block(blk):
-        for k in ("gas", "eos", "order", "flux", "integrator"):
+        for k in ("gas", "eos", "order", "flux", "integrator",
+                  "selfg_solver"):
             if par.exist(blk, k):
                 kw[k] = par.gets(blk, k)
         for k in ("nscalars",):

@@ -53,7 +53,15 @@ def solve_phi_periodic(d_active, grid: GridConfig, four_pi_G: float,
 
 def phi_padded(state, sim: SimConfig, grid: GridConfig, four_pi_G: float,
                grav_mean_rho: float):
-    """Solve Φ and place it in a padded array with periodic ghost fill."""
+    """Solve Φ and place it in a padded array with ghost fill; dispatch
+    on the configured solver (--with-gravity=fft|fft_obc|multigrid)."""
+    solver = getattr(sim, "selfg_solver", "fft")
+    if solver == "multigrid":
+        from .multigrid import phi_padded_multigrid
+        return phi_padded_multigrid(state, sim, grid, four_pi_G,
+                                    grav_mean_rho)
+    if solver == "fft_obc":
+        return _phi_padded_obc(state, sim, grid, four_pi_G)
     sl = grid.interior()
     phi_a = solve_phi_periodic(state.U[(ID,) + sl], grid, four_pi_G,
                                grav_mean_rho)
@@ -120,6 +128,24 @@ def solve_phi_obc(d_active, grid: GridConfig, four_pi_G: float):
     phi = jnp.fft.ifftn(jnp.fft.fftn(rho, axes=dims)
                         * jnp.fft.fftn(kern, axes=dims), axes=dims).real
     return phi[tuple(slice(0, s) for s in shape)]
+
+
+def _phi_padded_obc(state, sim: SimConfig, grid: GridConfig,
+                    four_pi_G: float):
+    """Open-boundary FFT solve with monopole ghost fill (the multigrid
+    module's boundary expansion doubles as the bvals_grav analogue for
+    any isolated-domain solver)."""
+    from .multigrid import _monopole_phi
+    sl = grid.interior()
+    d = state.U[(ID,) + sl]
+    phi_a = solve_phi_obc(d, grid, four_pi_G)
+    vol = 1.0
+    for a in range(3):
+        if grid.active(a):
+            vol *= grid.dx[a]
+    tmass = jnp.sum(d) * vol
+    phi = _monopole_phi(grid, tmass, four_pi_G, d.dtype)
+    return phi.at[sl].set(phi_a)
 
 
 def selfg_fc(U, phi_new, phi_old, mass_flux, dt, sim: SimConfig,

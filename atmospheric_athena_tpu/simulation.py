@@ -57,6 +57,10 @@ def parse_configure_line(par: ParameterDB) -> dict:
             out["_problem"] = val
         elif key == "coord":
             out["_coord"] = val
+        elif key == "gravity":
+            # --with-gravity=fft|fft_obc|multigrid (configure.ac)
+            out["self_gravity"] = True
+            out["selfg_solver"] = val
     for m in re.finditer(r"--enable-(\w[\w-]*)", cfgline):
         key = m.group(1)
         if key == "h-correction":
@@ -188,6 +192,7 @@ class Simulation:
         kappa_iso = self.par.getd_def("problem", "kappa_iso", 0.0)
         eta_ohm = self.par.getd_def("problem", "eta_O", 0.0)
         q_ad = self.par.getd_def("problem", "Q_AD", 0.0)
+        q_hall = self.par.getd_def("problem", "Q_Hall", 0.0)
         # d_ind present => single-fluid eta_AD = Q_AD*B^2/rho^(1+d_ind)
         # (get_eta.c:110; cshock1d sets d_ind=0); absent => constant Q_AD
         d_ind = (self.par.getd("problem", "d_ind")
@@ -196,8 +201,8 @@ class Simulation:
         kappa_aniso = self.par.getd_def("problem", "kappa_aniso", 0.0)
         cooling_fn = getattr(problem, "cooling_fn", None)
         has_diff = (nu_iso > 0.0 or kappa_iso > 0.0 or eta_ohm > 0.0
-                    or q_ad > 0.0 or nu_aniso > 0.0 or kappa_aniso > 0.0
-                    or cooling_fn is not None)
+                    or q_ad > 0.0 or q_hall > 0.0 or nu_aniso > 0.0
+                    or kappa_aniso > 0.0 or cooling_fn is not None)
         if has_diff:
             from .microphysics import diff_dt as diff_dt_fn, integrate_diff
             eta_ad_max = 0.0
@@ -242,10 +247,40 @@ class Simulation:
             phi0 = _phi_arrays(problem, grid, dtype) if ndim > 1 else None
         uw_aux0 = (problem.userwork_aux(dtype, sim, grid)
                    if hasattr(problem, "userwork_aux") else None)
-        self._step_aux = (phi0, uw_aux0)
 
-        def step(state: State, aux=(None, None)) -> State:
-            phi0, uw_aux = aux
+        # explicit-halo multichip mode (parallel/overlap.py): on a
+        # multi-device mesh the hydro phase runs as shard_map + one
+        # ppermute pair per mesh axis over each device's halo-padded
+        # block, instead of letting GSPMD insert all-gathers for every
+        # stencil shift; static gravity enters through per-shard
+        # halo-padded potential blocks (zero extra communication)
+        import math as _math
+        use_explicit = (
+            self.mesh is not None
+            and _math.prod(self.mesh.devices.shape) > 1
+            and ndim == 3 and not sim.mhd and not grid.cylindrical
+            and selfg_pars is None and not sim.fargo
+            and not sim.special_relativity and sim.integrator == "ctu")
+        phi_halo0 = None
+        if use_explicit:
+            from .parallel import overlap as _overlap
+            phi_halo0 = _overlap.phi_halo_arrays(problem, grid,
+                                                 self.mesh, dtype)
+
+        def _apply_bc(st):
+            if use_explicit:
+                try:
+                    return bvals.apply_bc_sharded(st, grid, sim, problem,
+                                                  mesh_)
+                except AssertionError:
+                    pass
+            return bvals.apply_bc(st, grid, sim, problem)
+        self._step_aux = (phi0, uw_aux0, phi_halo0)
+        mesh_ = self.mesh
+
+        def step(state: State, aux=(None, None, None)) -> State:
+            phi0, uw_aux = aux[0], aux[1]
+            phi_halo = aux[2] if len(aux) > 2 else None
             # dt for this cycle, clipped so we land exactly on tlim
             # (new_dt.c:183-185)
             dt = jnp.minimum(state.dt, jnp.maximum(tlim - state.time, 0.0)
@@ -254,7 +289,7 @@ class Simulation:
             # operator-split diffusion before radiation/hydro
             # (main.c:530-539); dt clamped to the explicit-diffusion CFL
             if has_diff:
-                if q_ad > 0.0 and d_ind is not None:
+                if (q_ad > 0.0 or q_hall > 0.0) and d_ind is not None:
                     # single-fluid ambipolar: eta_AD is a field of the
                     # evolving B/rho, so the resistive CFL is recomputed
                     # from the state each cycle (diff_dt.c:75-77)
@@ -263,7 +298,7 @@ class Simulation:
                     dt_diff_t = jnp.minimum(
                         dt_diff, diff_dt_resistive_state(
                             state, sim, grid, cour_no, eta_ohm, q_ad,
-                            d_ind))
+                            d_ind, q_hall=q_hall))
                     dt = jnp.minimum(dt, dt_diff_t)
                 else:
                     dt = jnp.minimum(dt, dt_diff)
@@ -272,8 +307,8 @@ class Simulation:
                                        eta_ohm=eta_ohm, q_ad=q_ad,
                                        nu_aniso=nu_aniso,
                                        kappa_aniso=kappa_aniso,
-                                       d_ind=d_ind)
-                state = bvals.apply_bc(state, grid, sim, problem)
+                                       d_ind=d_ind, q_hall=q_hall)
+                state = _apply_bc(state)
 
             # radiation BEFORE hydro — it may shrink dt (main.c:541-556;
             # ionrad_3d.c:983,1033); ghosts are then refreshed (main.c:552)
@@ -282,7 +317,7 @@ class Simulation:
                 state, dt = ion_radtransfer(state, sim, grid, ion,
                                             state.time, cour_no,
                                             mesh=self.mesh)
-                state = bvals.apply_bc(state, grid, sim, problem)
+                state = _apply_bc(state)
 
             if selfg_pars is not None:
                 # Phi from rho at t^n (the reference solves at the end of
@@ -292,6 +327,10 @@ class Simulation:
                                            phi_sg=phi_sg,
                                            selfg_pars=selfg_pars,
                                            return_fluxes=True, phi=phi0)
+            elif use_explicit:
+                from .parallel import overlap as _ovl
+                state = _ovl.hydro_step_sharded_grav(
+                    state, dt, sim, grid, mesh_, phi_halo=phi_halo)
             else:
                 state = integ.step(state, dt, sim, grid, problem,
                                    phi=phi0)
@@ -324,7 +363,7 @@ class Simulation:
                                   dt=dt)
             dt_next = dt_mod.new_dt(state, sim, grid, cour_no)
             state = state.replace(dt=dt_next)
-            state = bvals.apply_bc(state, grid, sim, problem)
+            state = _apply_bc(state)
             return state
 
         return jax.jit(step)
