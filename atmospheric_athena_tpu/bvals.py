@@ -311,3 +311,71 @@ def _apply_bc_jnp(state: State, grid: GridConfig, sim: SimConfig,
     if sim.mhd:
         kw.update(Bcc=Bcc, B1i=Bi[0], B2i=Bi[1], B3i=Bi[2])
     return state.replace(**kw)
+
+
+def apply_bc_sharded(state: State, grid: GridConfig, sim: SimConfig,
+                     problem, mesh) -> State:
+    """Ghost fill for the explicit-halo multichip step: each EDGE shard
+    fills its own slab of the global ghost zones purely from local data
+    (shard_map + lax.cond on axis_index) — zero collectives, versus the
+    roll/dynamic-update-slice chain of the serial fill which GSPMD turns
+    into all-gathers.
+
+    Supported: hydro, outflow/reflect/conductor/do-nothing flags, no
+    user BC functions, and every shard's padded slab at least 2*nghost
+    deep (so the fill's source cells are local to the edge shard).
+    Anything else raises AssertionError at trace time — the caller falls
+    back to the serial fill under GSPMD (correct, just heavier)."""
+    import jax
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.sharding import PartitionSpec as P
+
+    assert not sim.mhd and not sim.shearing_box
+    assert problem is None or not any(
+        getattr(problem, f"bc_{s}x{a}", None) is not None
+        for s in ("i", "o") for a in (1, 2, 3))
+    ng = grid.nghost
+    names = {0: "x", 1: "y", 2: "z"}   # Athena axis -> mesh axis name
+    padded = grid.padded_shape()        # (NZ, NY, NX)
+    for axis in range(3):
+        if not grid.active(axis):
+            continue
+        nsh = mesh.shape[names[axis]]
+        assert padded[2 - axis] % nsh == 0
+        assert padded[2 - axis] // nsh >= 2 * ng
+        for flag in grid.bc[axis]:
+            assert flag in (BC_OUTFLOW, BC_REFLECT, BC_CONDUCTOR,
+                            BC_DONOTHING)
+
+    def body(U):
+        for axis in (0, 1, 2):
+            if not grid.active(axis):
+                continue
+            ad_U = _adim(axis) + 1   # +1 for the variable axis
+            nsh = mesh.shape[names[axis]]
+            for side, flag in zip(("lo", "hi"), grid.bc[axis]):
+                if flag == BC_DONOTHING:
+                    continue
+
+                def fill(u, side=side, flag=flag, axis=axis, ad_U=ad_U):
+                    blk = _ghost_block(u, ad_U, ng, side, flag)
+                    if flag in (BC_REFLECT, BC_CONDUCTOR):
+                        blk = blk.at[IM1 + axis].multiply(-1.0)
+                    return _fill(u, ad_U, ng, side, blk)
+
+                if nsh == 1:
+                    U = fill(U)
+                else:
+                    pos = jax.lax.axis_index(names[axis])
+                    is_edge = (pos == 0) if side == "lo" \
+                        else (pos == nsh - 1)
+                    U = jax.lax.cond(is_edge, fill, lambda u: u, U)
+        return U
+
+    spec = P(None, "z", "y", "x")
+    Unew = _shard_map(body, mesh=mesh, in_specs=(spec,),
+                      out_specs=spec)(state.U)
+    return state.replace(U=Unew)

@@ -180,8 +180,43 @@ def _compute_only(U):
 
 t_comp, _ = timeit(jax.jit(_compute_only), s.state.U)
 out["halo_compute_only_s"] = t_comp
-out["halo_overlap_pct"] = max(0.0, min(100.0,
-                              100.0 * (t_exch + t_comp - th) / t_exch))
+raw_overlap = 100.0 * (t_exch + t_comp - th) / t_exch
+if raw_overlap < 0.0:
+    # t_full exceeds compute + exchange: the virtual-mesh per-step
+    # dispatch floor (~0.3-0.6 s on this 2-core host) swamps the
+    # actual exchange cost, so the subtraction measures dispatch
+    # noise, not overlap — record N/A with the raw inputs rather
+    # than a misleading clamped 0 (VERDICT r4 weak #5)
+    out["halo_overlap_pct"] = None
+    out["halo_overlap_note"] = (
+        "not measurable on this host: t_full (%.3fs) > t_compute "
+        "(%.3fs) + t_exchange (%.3fs); the virtual-CPU-mesh dispatch "
+        "floor dominates the %.0f ms exchange" % (
+            th, t_comp, t_exch, t_exch * 1e3))
+else:
+    out["halo_overlap_pct"] = min(100.0, raw_overlap)
+
+# --- PRODUCTION step on a >1-device mesh: the explicit-halo path -------
+# (Simulation._build_step with self.mesh set selects
+# overlap.hydro_step_sharded_grav + bvals.apply_bc_sharded + the
+# distributed radiation scan; this is what dryrun_multichip runs)
+par_p = ParameterDB.from_string(_ISPH_DECK.format(n=N))
+par_p.set("ionradiation", "maxiter", 50)
+sp = Simulation.from_par(par_p, problem="ioniz_sphere", dtype="float32")
+pmesh = make_mesh(8)
+sp.mesh = pmesh
+fnp = sp._build_step().__wrapped__
+auxp = sp._step_aux
+shp_ = state_shardings(pmesh, sp.sim)
+stP = shard_state(sp.state, pmesh, sp.sim)
+fprod = jax.jit(lambda st: fnp(st, auxp), in_shardings=(shp_,),
+                out_shardings=shp_)
+tprod, outP = timeit(fprod, stP)
+out["production_step_s"] = tprod
+out["collectives_production_step"] = collective_counts(
+    fprod.lower(stP).compile())
+errP = float(np.abs(np.asarray(outP.U) - np.asarray(out1.U)).max())
+out["production_step_rel_err_vs_serial"] = errP / scale
 
 print(json.dumps(out, indent=1))
 rnd = os.environ.get("MC_ROUND", "r04")
