@@ -203,8 +203,20 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     # === STEPS 1-3: per-axis L/R states + first-pass fluxes =================
     # (sweep variable order via leading-axis permutation only; shifts act on
     # the sweep axis in place — no per-sweep transposes)
-    Ulp, Urp, Fp = {}, {}, {}
+    # with_df fast path: sweeps emit the flux DIFFERENCE dF (sweep axis
+    # in-block) + the density flux F_ID — the only whole-flux consumers
+    # are the transverse corrections (via dF) and the gravity glue (ID
+    # only), so the full first-pass flux never round-trips HBM.  SMR /
+    # self-gravity callers need the real fluxes (return_fluxes) and keep
+    # the original path.
+    use_df = use_pallas_mid and not return_fluxes
+    Ulp, Urp, Fp, dFp = {}, {}, {}, {}
     for a in axes:
+        if use_pallas and use_df:
+            Ulp[a], Urp[a], Fp[a], dFp[a] = pallas_hydro.sweep_lrflux(
+                U, phic, phif[a] if phic is not None else None,
+                dtodx[a], sim, a, with_df=True)
+            continue
         if use_pallas:
             Ulp[a], Urp[a], Fp[a] = pallas_hydro.sweep_lrflux(
                 U, phic, phif[a] if phic is not None else None,
@@ -248,7 +260,8 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
              if phic is not None else None)
         for a in axes:
             Ulc[a], Urc[a], etaP[a] = pallas_ctu_mid.transverse_correct(
-                Ulp[a], Urp[a], Fp, G, q, sim, grid, a, axes)
+                Ulp[a], Urp[a], Fp, G, q, sim, grid, a, axes,
+                dFp=dFp if use_df else None)
         dF = None
     else:
         dF = {b: _sh(Fp[b], 1, b) - Fp[b] for b in axes}
@@ -306,7 +319,17 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             dhalf = dhalf - q[a] * dFID
 
     # === STEP 9: H-correction etas + final fluxes ===========================
-    if use_pallas_mid:
+    dF2 = F2IDr = None
+    if use_pallas_mid and use_df and not sim.h_correction:
+        # sweep-block final solve emitting the flux difference directly
+        # (full F2 never written: final_update consumes dF2, the gravity
+        # glue consumes the density components)
+        dF2, F2ID, F2IDr = {}, {}, {}
+        for a in axes:
+            dF2[a], F2ID[a], F2IDr[a] = pallas_hydro.flux_sweep_df(
+                Ulc[a], Urc[a], sim, a)
+        Fp2 = F2ID
+    elif use_pallas_mid:
         etaS = (jnp.stack([etaP[a] for a in axes])
                 if sim.h_correction else None)
         Fp2 = {a: pallas_ctu_mid.flux_corrected(Ulc[a], Urc[a], etaS, sim,
@@ -350,10 +373,11 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     # update + interior splice in one kernel
     if use_pallas_mid:
         Sg = (pallas_ctu_mid.grav_source_pl(U, Fp, Fp2, phic, phif, q,
-                                            dtodx, axes, grid)
+                                            dtodx, axes, grid,
+                                            Fp2IDr=F2IDr)
               if phic is not None else None)
         Uout = pallas_ctu_mid.final_update(U, Fp2, Sg, dtodx, sim, grid,
-                                           axes)
+                                           axes, dF2=dF2)
         out = state.replace(U=Uout)
         return (out, Fp2) if return_fluxes else out
 

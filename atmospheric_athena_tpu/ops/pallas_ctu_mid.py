@@ -245,6 +245,12 @@ def grav_source(Fp2, dhalf, phic, phif, dtodx, axes):
 # ---------------------------------------------------------------------------
 
 
+def _idfield(arr):
+    """Accept either a full [nvar, ...] stacked flux or its 3-D density
+    component (sweep_lrflux with_df emits the latter directly)."""
+    return arr if arr.ndim == 3 else arr[ID]
+
+
 def _gcross_kernel(q_ref, *refs, axes, keys, adiabatic):
     q = {b: q_ref[0, b] for b in axes}
     nops = len(keys)
@@ -275,7 +281,7 @@ def gcross_pl(U, phic, phif, Fp, q, axes, grid: GridConfig):
         dzb = 1 if b == 2 else 0
         dyb = 1 if b == 1 else 0
         ops.need_shift(f"phif{b}", phif[b], dzb, dyb)
-        ops.need_shift(f"FpID{b}", Fp[b][ID], dzb, dyb)
+        ops.need_shift(f"FpID{b}", _idfield(Fp[b]), dzb, dyb)
     qarr = jnp.stack([q.get(b, jnp.zeros((), U.dtype)) for b in range(3)]
                      + [jnp.zeros((), U.dtype)]).reshape(1, 4)
     smem = pl.BlockSpec((1, 4), lambda i, j: (0, 0),
@@ -295,7 +301,7 @@ def gcross_pl(U, phic, phif, Fp, q, axes, grid: GridConfig):
     return {b: out[i] for i, b in enumerate(axes)}
 
 
-def _sg_kernel(q_ref, *refs, axes, keys):
+def _sg_kernel(q_ref, *refs, axes, keys, with_f2r=False):
     # q_ref row 0: q (dhalf), row 1: dtodx
     nops = len(keys)
     (out_ref,) = refs[nops:]
@@ -312,7 +318,8 @@ def _sg_kernel(q_ref, *refs, axes, keys):
             phil = tl.at(f"phif{a}")
             phir = tl.sh(f"phif{a}", a, 1)
             F2 = tl.at(f"Fp2ID{a}")
-            F2r = tl.sh(f"Fp2ID{a}", a, 1)
+            F2r = (tl.at(f"Fp2IDr{a}") if with_f2r
+                   else tl.sh(f"Fp2ID{a}", a, 1))
             dM.append(q_ref[1, a] * (phir - phil) * dhalf)
             dE.append(q_ref[1, a] * (F2 * (phic - phil) +
                                      F2r * (phir - phic)))
@@ -323,8 +330,12 @@ def _sg_kernel(q_ref, *refs, axes, keys):
 
 
 def grav_source_pl(U, Fp, Fp2, phic, phif, q, dtodx, axes,
-                   grid: GridConfig):
-    """Pallas dhalf + grav_source: returns the stacked (6, ...) Sg."""
+                   grid: GridConfig, Fp2IDr=None):
+    """Pallas dhalf + grav_source: returns the stacked (6, ...) Sg.
+
+    Fp2IDr: optional {a: F2_ID(+1_a)} pre-shifted density fluxes
+    (pallas_hydro.flux_sweep_df) — aligned operands instead of
+    block-neighbor view pairs."""
     NZ, NY, NX = U.shape[1:]
     bz, by = _tiles(NZ, NY, NX)
     gz, gy = NZ // bz, NY // by
@@ -335,8 +346,12 @@ def grav_source_pl(U, Fp, Fp2, phic, phif, q, dtodx, axes,
         dzb = 1 if a == 2 else 0
         dyb = 1 if a == 1 else 0
         ops.need_shift(f"phif{a}", phif[a], dzb, dyb)
-        ops.need_shift(f"FpID{a}", Fp[a][ID], dzb, dyb)
-        ops.need_shift(f"Fp2ID{a}", Fp2[a][ID], dzb, dyb)
+        ops.need_shift(f"FpID{a}", _idfield(Fp[a]), dzb, dyb)
+        if Fp2IDr is not None:
+            ops.add(f"Fp2ID{a}", _idfield(Fp2[a]))
+            ops.add(f"Fp2IDr{a}", Fp2IDr[a])
+        else:
+            ops.need_shift(f"Fp2ID{a}", _idfield(Fp2[a]), dzb, dyb)
     qarr = jnp.stack(
         [q.get(b, jnp.zeros((), U.dtype)) for b in range(3)]
         + [jnp.zeros((), U.dtype)]
@@ -346,7 +361,8 @@ def grav_source_pl(U, Fp, Fp2, phic, phif, q, dtodx, axes,
                         memory_space=pltpu.SMEM)
     return pl.pallas_call(
         functools.partial(_sg_kernel, axes=tuple(axes),
-                          keys=tuple(ops.keys)),
+                          keys=tuple(ops.keys),
+                          with_f2r=Fp2IDr is not None),
         grid=(gz, gy),
         in_specs=[smem] + ops.specs(None, gz, gy, NX, bz, by),
         out_specs=_mkspec((6, bz, by, NX), 0, 0, gz, gy),
@@ -372,7 +388,7 @@ def _cfast_tile(Uc, sim: SimConfig):
 
 
 def _trans_kernel(q_ref, *refs, sim: SimConfig, a: int, axes, keys,
-                  with_grav: bool, with_eta: bool):
+                  with_grav: bool, with_eta: bool, with_df: bool):
     q = {b: q_ref[0, b] for b in axes}
     nops = len(keys)
     outs = refs[nops:]
@@ -387,8 +403,14 @@ def _trans_kernel(q_ref, *refs, sim: SimConfig, a: int, axes, keys,
     for b in axes:
         if b == a:
             continue
-        dF_r = tl.sh(f"F{b}", b, 1) - tl.at(f"F{b}")
-        dF_l = tl.sh2(f"F{b}", b, 1, a, -1) - tl.sh(f"F{b}", a, -1)
+        if with_df:
+            # sweep-emitted flux difference: one aligned + one shifted
+            # view instead of four views of the full flux array
+            dF_r = tl.at(f"dF{b}")
+            dF_l = tl.sh(f"dF{b}", a, -1)
+        else:
+            dF_r = tl.sh(f"F{b}", b, 1) - tl.at(f"F{b}")
+            dF_l = tl.sh2(f"F{b}", b, 1, a, -1) - tl.sh(f"F{b}", a, -1)
         cr = q[b] * dF_r
         cl = q[b] * dF_l
         corr_r = cr if corr_r is None else corr_r + cr
@@ -422,14 +444,20 @@ def _trans_kernel(q_ref, *refs, sim: SimConfig, a: int, axes, keys,
 
 
 def transverse_correct(Ulp, Urp, Fp, G, q, sim: SimConfig,
-                       grid: GridConfig, a: int, axes):
+                       grid: GridConfig, a: int, axes, dFp=None):
     """Fused steps 5-7 for axis a.  Returns (Ulc, Urc, eta) with eta the
-    H-correction interface jump (or None without h_correction)."""
+    H-correction interface jump (or None without h_correction).
+
+    dFp: optional {b: dF_b} sweep-emitted flux differences
+    (pallas_hydro.sweep_lrflux with_df) — replaces the four
+    block-neighbor views of each transverse flux with two views of its
+    difference (values bitwise identical: same f32 subtraction)."""
     nv, NZ, NY, NX = Ulp.shape
     bz, by = _tiles(NZ, NY, NX)
     gz, gy = NZ // bz, NY // by
     with_grav = G is not None
     with_eta = sim.h_correction
+    with_df = dFp is not None
 
     ops = _Operands()
     ops.add("Ulp", Ulp)
@@ -441,10 +469,14 @@ def transverse_correct(Ulp, Urp, Fp, G, q, sim: SimConfig,
             continue
         dzb = 1 if b == 2 else 0
         dyb = 1 if b == 1 else 0
-        # views for F_b, F_b(+1_b), F_b(-1_a), F_b(+1_b,-1_a)
-        ops.need_shift(f"F{b}", Fp[b], dzb, dyb)
-        ops.need_shift(f"F{b}", Fp[b], dza, dya)
-        ops.need_shift(f"F{b}", Fp[b], dzb + dza, dyb + dya)
+        if with_df:
+            # views for dF_b, dF_b(-1_a)
+            ops.need_shift(f"dF{b}", dFp[b], dza, dya)
+        else:
+            # views for F_b, F_b(+1_b), F_b(-1_a), F_b(+1_b,-1_a)
+            ops.need_shift(f"F{b}", Fp[b], dzb, dyb)
+            ops.need_shift(f"F{b}", Fp[b], dza, dya)
+            ops.need_shift(f"F{b}", Fp[b], dzb + dza, dyb + dya)
         if with_grav:
             ops.need_shift(f"G{b}", G[b], dza, dya)
 
@@ -463,7 +495,7 @@ def transverse_correct(Ulp, Urp, Fp, G, q, sim: SimConfig,
 
     kern = functools.partial(_trans_kernel, sim=sim, a=a, axes=tuple(axes),
                              keys=tuple(ops.keys), with_grav=with_grav,
-                             with_eta=with_eta)
+                             with_eta=with_eta, with_df=with_df)
     out = pl.pallas_call(
         kern,
         grid=(gz, gy),
@@ -559,7 +591,7 @@ def flux_corrected(Ulc, Urc, etaS, sim: SimConfig, grid: GridConfig,
 
 
 def _final_kernel(q_ref, *refs, sim: SimConfig, axes, keys,
-                  with_grav: bool, lo, hi, bz, by):
+                  with_grav: bool, lo, hi, bz, by, with_df=False):
     dtodx = {b: q_ref[0, b] for b in axes}
     nops = len(keys)
     (out_ref,) = refs[nops:]
@@ -574,7 +606,9 @@ def _final_kernel(q_ref, *refs, sim: SimConfig, axes, keys,
             if sim.adiabatic:
                 Unew = _sub_at(Unew, IEN, Sg[3 + a])
     for a in axes:
-        Unew = Unew - dtodx[a] * (tl.sh(f"F{a}", a, 1) - tl.at(f"F{a}"))
+        dFa = (tl.at(f"dF{a}") if with_df
+               else tl.sh(f"F{a}", a, 1) - tl.at(f"F{a}"))
+        Unew = Unew - dtodx[a] * dFa
 
     # interior splice: ghosts keep U (ctu3d.py step-12 splice)
     i = pl.program_id(0)
@@ -590,18 +624,25 @@ def _final_kernel(q_ref, *refs, sim: SimConfig, axes, keys,
 
 
 def final_update(U, Fp2, Sg, dtodx, sim: SimConfig, grid: GridConfig,
-                 axes):
-    """Fused steps 11-12 + splice.  Sg: grav_source() output or None."""
+                 axes, dF2=None):
+    """Fused steps 11-12 + splice.  Sg: grav_source() output or None.
+    dF2: optional {a: F2(+1_a) - F2} flux differences
+    (pallas_hydro.flux_sweep_df) — aligned operands replacing the
+    block-neighbor view pairs of the full fluxes."""
     nv, NZ, NY, NX = U.shape
     bz, by = _tiles(NZ, NY, NX)
     gz, gy = NZ // bz, NY // by
     with_grav = Sg is not None
+    with_df = dF2 is not None
 
     ops = _Operands()
     ops.add("U", U)
     if with_grav:
         ops.add("Sg", Sg)
     for a in axes:
+        if with_df:
+            ops.add(f"dF{a}", dF2[a])
+            continue
         dzb = 1 if a == 2 else 0
         dyb = 1 if a == 1 else 0
         ops.need_shift(f"F{a}", Fp2[a], dzb, dyb)
@@ -616,7 +657,7 @@ def final_update(U, Fp2, Sg, dtodx, sim: SimConfig, grid: GridConfig,
     hi = tuple(grid.hi(a) for a in range(3))
     kern = functools.partial(_final_kernel, sim=sim, axes=tuple(axes),
                              keys=tuple(ops.keys), with_grav=with_grav,
-                             lo=lo, hi=hi, bz=bz, by=by)
+                             lo=lo, hi=hi, bz=bz, by=by, with_df=with_df)
     return pl.pallas_call(
         kern,
         grid=(gz, gy),

@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimConfig
+from ..defs import ID
 from ..eos import cons1d_to_prim1d, prim1d_to_cons1d
 from . import reconstruct, riemann
 from ..integrators.sweep import inv_perm, var_perm
@@ -111,12 +112,23 @@ def _unsqueeze_out(X, axis):
 
 
 def _sweep_kernel(dtodx_ref, U_ref, *refs, sim: SimConfig, axis: int,
-                  with_grav: bool):
-    """steps 1-3: U -> (Ul, Ur, F), all in PHYSICAL variable order."""
+                  with_grav: bool, with_df: bool = False):
+    """steps 1-3: U -> (Ul, Ur, F), all in PHYSICAL variable order.
+
+    with_df: emit (Ul, Ur, F_ID, dF) instead — the sweep axis is fully
+    in-block, so the downstream consumers' flux difference
+    dF = F(+1_axis) - F costs one in-VMEM roll here versus a
+    block-neighbor view pair (a full extra HBM read of F) in EVERY
+    consumer; only the density component F_ID is needed whole (gravity
+    glue), so the other five F components never round-trip HBM."""
     if with_grav:
-        phic_ref, phif_ref, Ul_ref, Ur_ref, F_ref = refs
+        phic_ref, phif_ref, *orefs = refs
     else:
-        Ul_ref, Ur_ref, F_ref = refs
+        orefs = refs
+    if with_df:
+        Ul_ref, Ur_ref, Fid_ref, dF_ref = orefs
+    else:
+        Ul_ref, Ur_ref, F_ref = orefs
     dtodx = dtodx_ref[0, 0]
     perm = var_perm(axis, sim)
     ipm = inv_perm(perm)
@@ -143,14 +155,25 @@ def _sweep_kernel(dtodx_ref, U_ref, *refs, sim: SimConfig, axis: int,
 
     Ul_ref[...] = _unsqueeze_out(_restack(Ul, ipm), axis)
     Ur_ref[...] = _unsqueeze_out(_restack(Ur, ipm), axis)
-    F_ref[...] = _unsqueeze_out(_restack(F, ipm), axis)
+    if with_df:
+        Fphys = _restack(F, ipm)
+        # dF[c] = F[c+1] - F[c]; the roll wraps at the block edge, so the
+        # outermost cell holds garbage — inside the ghost region, never
+        # read by interior updates (ctu3d.py:16-23 argument)
+        dF = jnp.roll(Fphys, -1, axis=sdim) - Fphys
+        Fid_ref[...] = _unsqueeze_out(Fphys[ID:ID + 1], axis)
+        dF_ref[...] = _unsqueeze_out(dF, axis)
+    else:
+        F_ref[...] = _unsqueeze_out(_restack(F, ipm), axis)
 
 
 def sweep_lrflux(U, phic, phif_a, dtodx, sim: SimConfig, axis: int,
-                 by=None, bx=128):
+                 by=None, bx=128, with_df=False):
     """Fused steps 1-3 along `axis`.  U, outputs: [nv, NZ, NY, NX] physical
     order.  phic/phif_a: [NZ, NY, NX] static-potential fields or None.
-    Returns (Ul, Ur, F)."""
+    Returns (Ul, Ur, F), or (Ul, Ur, F_ID, dF) with with_df (F_ID the
+    density flux [NZ, NY, NX]; dF the in-sweep flux difference — see
+    _sweep_kernel)."""
     shape = U.shape
     nv, NZ, NY, NX = shape
     with_grav = phic is not None
@@ -183,17 +206,38 @@ def sweep_lrflux(U, phic, phif_a, dtodx, sim: SimConfig, axis: int,
         args += [phic, phif_a]
 
     kern = functools.partial(_sweep_kernel, sim=sim, axis=axis,
-                             with_grav=with_grav)
+                             with_grav=with_grav, with_df=with_df)
+    if with_df:
+        # outputs: Ul, Ur (nv blocks), F_ID (1-var block), dF (nv block)
+        blk1 = (1,) + blk[1:]
+        shape1 = (1,) + U.shape[1:]
+        out_specs = (pl.BlockSpec(blk, imap), pl.BlockSpec(blk, imap),
+                     pl.BlockSpec(blk1, imap), pl.BlockSpec(blk, imap))
+        out_shape = (jax.ShapeDtypeStruct(U.shape, U.dtype),
+                     jax.ShapeDtypeStruct(U.shape, U.dtype),
+                     jax.ShapeDtypeStruct(shape1, U.dtype),
+                     jax.ShapeDtypeStruct(U.shape, U.dtype))
+    else:
+        out_specs = tuple(pl.BlockSpec(blk, imap) for _ in range(3))
+        out_shape = tuple(jax.ShapeDtypeStruct(U.shape, U.dtype)
+                          for _ in range(3))
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=tuple(pl.BlockSpec(blk, imap) for _ in range(3)),
-        out_shape=tuple(jax.ShapeDtypeStruct(U.shape, U.dtype)
-                        for _ in range(3)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
         compiler_params=_cparams(),
     )(*args)
+    if with_df:
+        Ul, Ur, Fid, dF = out
+        if axis == 2:
+            Ul = Ul.reshape(shape)
+            Ur = Ur.reshape(shape)
+            Fid = Fid.reshape((1,) + shape[1:])
+            dF = dF.reshape(shape)
+        return Ul, Ur, Fid[0], dF
     if axis == 2:
         out = tuple(o.reshape(shape) for o in out)
     return out
@@ -249,6 +293,69 @@ def flux_pointwise(Ulc, Urc, etah, sim: SimConfig, axis: int, by=None):
         interpret=_interpret(),
         compiler_params=_cparams(),
     )(*args)
+
+
+def _fluxdf_kernel(Ul_ref, Ur_ref, dF_ref, Fid_ref, Fidr_ref, *,
+                   sim: SimConfig, axis: int):
+    """step 9 Riemann solve with sweep-axis-resident blocks, emitting the
+    flux DIFFERENCE dF2 = F2(+1_axis) - F2 plus the density flux and its
+    +1 shift (the only whole-F2 consumers downstream are the
+    flux-difference update and the gravity glue's F2_ID terms, so F2
+    itself never round-trips HBM; the in-block roll replaces a
+    block-neighbor view pair in final_update)."""
+    perm = var_perm(axis, sim)
+    ipm = inv_perm(perm)
+    Ulq, sdim = _squeeze_in(Ul_ref[...], axis)
+    Urq, _ = _squeeze_in(Ur_ref[...], axis)
+    Ul = _restack(Ulq, perm)
+    Ur = _restack(Urq, perm)
+    Wl = cons1d_to_prim1d(Ul, None, sim)
+    Wr = cons1d_to_prim1d(Ur, None, sim)
+    F = riemann.fluxes(Ul, Ur, Wl, Wr, None, sim, branchless=True)
+    Fphys = _restack(F, ipm)
+    dF = jnp.roll(Fphys, -1, axis=sdim) - Fphys
+    dF_ref[...] = _unsqueeze_out(dF, axis)
+    Fid_ref[...] = _unsqueeze_out(Fphys[ID:ID + 1], axis)
+    Fidr_ref[...] = _unsqueeze_out(
+        jnp.roll(Fphys[ID:ID + 1], -1, axis=sdim), axis)
+
+
+def flux_sweep_df(Ulc, Urc, sim: SimConfig, axis: int, by=None, bx=128):
+    """Fused step 9 on corrected states, sweep-style blocks (full `axis`
+    extent in VMEM).  Returns (dF2, F2_ID, F2_IDr): the conservative
+    flux difference along `axis`, the density flux, and its +1_axis
+    shift.  No H-correction (caller falls back to flux_corrected)."""
+    shape = Ulc.shape
+    nv, NZ, NY, NX = shape
+    if by is None:
+        by = 64 if NX <= 272 else 32
+    by = min(by, NY)
+    bx = min(bx, NX) if axis != 2 else min(bx, NY * NX)
+    if axis == 2:
+        Ulc = Ulc.reshape(nv, NZ, NY * NX)
+        Urc = Urc.reshape(nv, NZ, NY * NX)
+    blk, imap, grid = _sweep_spec(axis, (NZ, NY, NX), nv, by, bx)
+    blk1 = (1,) + blk[1:]
+    shape1 = (1,) + Ulc.shape[1:]
+
+    kern = functools.partial(_fluxdf_kernel, sim=sim, axis=axis)
+    dF, Fid, Fidr = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec(blk, imap), pl.BlockSpec(blk, imap)],
+        out_specs=(pl.BlockSpec(blk, imap), pl.BlockSpec(blk1, imap),
+                   pl.BlockSpec(blk1, imap)),
+        out_shape=(jax.ShapeDtypeStruct(Ulc.shape, Ulc.dtype),
+                   jax.ShapeDtypeStruct(shape1, Ulc.dtype),
+                   jax.ShapeDtypeStruct(shape1, Ulc.dtype)),
+        interpret=_interpret(),
+        compiler_params=_cparams(),
+    )(Ulc, Urc)
+    if axis == 2:
+        dF = dF.reshape(shape)
+        Fid = Fid.reshape((1,) + shape[1:])
+        Fidr = Fidr.reshape((1,) + shape[1:])
+    return dF, Fid[0], Fidr[0]
 
 
 def _interpret() -> bool:

@@ -60,3 +60,23 @@ def test_pallas_step_matches_jnp_ppm():
         scale = np.abs(Ua[k]).max()
         np.testing.assert_allclose(Ub[k], Ua[k], rtol=0,
                                    atol=1e-12 * scale)
+
+
+@pytest.mark.slow
+def test_pallas_step_matches_jnp_no_hcorr():
+    """Without the H-correction the pallas path takes the with_df fast
+    route (sweep-emitted dF + flux_sweep_df + aligned final update) —
+    the production bench configuration.  Must still match jnp."""
+    a, b = _step_pair(h_correction=False)
+    assert not a.sim.h_correction
+    for _ in range(2):
+        a.step()
+        b.step()
+    Ua = np.asarray(a.state.U)[(slice(None),) + a.grid.interior()]
+    Ub = np.asarray(b.state.U)[(slice(None),) + b.grid.interior()]
+    for k in range(Ua.shape[0]):
+        scale = np.abs(Ua[k]).max()
+        np.testing.assert_allclose(Ub[k], Ua[k], rtol=0,
+                                   atol=1e-12 * scale)
+    assert float(a.state.dt) == pytest.approx(float(b.state.dt),
+                                              rel=1e-12)
