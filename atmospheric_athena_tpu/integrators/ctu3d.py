@@ -256,6 +256,11 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     Ulc, Urc = {}, {}
     etaP = {}
     if use_pallas_mid:
+        # (A flattened-lane layout for these kernels — (y,x) merged into
+        # the lane dim to dodge the 264->384 lane padding — measured
+        # SLOWER: single-z-plane blocks use one of eight sublanes, an 8x
+        # vector-slot waste that outweighs the 31% lane pad.  The
+        # x-major tiles below are the measured optimum on v5e.)
         G = (pallas_ctu_mid.gcross_pl(U, phic, phif, Fp, q, axes, grid)
              if phic is not None else None)
         for a in axes:

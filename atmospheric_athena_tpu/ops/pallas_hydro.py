@@ -80,7 +80,11 @@ def _sweep_spec(axis, shape, nv, by, bx):
     (y, x) into a single lane dimension (layout no-op on the contiguous
     array) so z sits in sublanes at full extent."""
     NZ, NY, NX = shape
-    if axis == 0:    # sweep along x: tile (z, y)
+    if axis == 0:    # sweep along x: tile (z, y).  (A flattened-lane
+        # variant — (nv, 1, 1, NY*NX) blocks like flux_sweep_df — hits a
+        # Mosaic layout-offset assertion inside the PLM reconstruction
+        # rolls on this toolchain, so the x-sweep keeps x-major tiles
+        # and their 264->384 lane padding.)
         blk = (nv, 1, by, NX)
         grid = (NZ, _cdiv(NY, by))
         imap = lambda i, j: (0, i, j, 0)
@@ -185,7 +189,7 @@ def sweep_lrflux(U, phic, phif_a, dtodx, sim: SimConfig, axis: int,
     # z-sweep flattens (y,x) into lanes: bx tiles NY*NX, not NX (partial
     # last blocks are fine; bx itself must stay a multiple of 128)
     bx = min(bx, NX) if axis != 2 else min(bx, NY * NX)
-    if axis == 2:  # flatten (y, x) into lanes — contiguous, layout no-op
+    if axis == 2:  # flatten (y, x) into lanes — contiguous, no-op
         U = U.reshape(nv, NZ, NY * NX)
         if with_grav:
             phic = phic.reshape(NZ, NY * NX)
@@ -331,7 +335,10 @@ def flux_sweep_df(Ulc, Urc, sim: SimConfig, axis: int, by=None, bx=128):
         by = 64 if NX <= 272 else 32
     by = min(by, NY)
     bx = min(bx, NX) if axis != 2 else min(bx, NY * NX)
-    if axis == 2:
+    if axis == 0:
+        Ulc = Ulc.reshape(nv, NZ, 1, NY * NX)
+        Urc = Urc.reshape(nv, NZ, 1, NY * NX)
+    elif axis == 2:
         Ulc = Ulc.reshape(nv, NZ, NY * NX)
         Urc = Urc.reshape(nv, NZ, NY * NX)
     blk, imap, grid = _sweep_spec(axis, (NZ, NY, NX), nv, by, bx)
@@ -351,7 +358,7 @@ def flux_sweep_df(Ulc, Urc, sim: SimConfig, axis: int, by=None, bx=128):
         interpret=_interpret(),
         compiler_params=_cparams(),
     )(Ulc, Urc)
-    if axis == 2:
+    if axis in (0, 2):
         dF = dF.reshape(shape)
         Fid = Fid.reshape((1,) + shape[1:])
         Fidr = Fidr.reshape((1,) + shape[1:])
