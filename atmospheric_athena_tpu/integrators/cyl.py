@@ -133,8 +133,10 @@ def _geom_src_prim(W, x1vc, sim: SimConfig):
 
 def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
          phi=None, return_fluxes=False):
-    """One cylindrical CTU hydro step over the active axes."""
-    assert sim.gas == "hydro" and not sim.mhd, "cylindrical: hydro only"
+    """One cylindrical CTU step over the active axes (MHD: 1D only)."""
+    if sim.mhd:
+        assert not return_fluxes
+        return step_mhd1d(state, dt, sim, grid, problem, phi=phi)
     assert not sim.h_correction, "cylindrical decks do not use etah"
     assert sim.nscalars == 0, \
         "cylindrical + passive scalars unsupported (configure.ac:603)"
@@ -369,3 +371,123 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
     Uout = U.at[sl_].set(Unew[sl_])
     out = state.replace(U=Uout)
     return (out, Fp2) if return_fluxes else out
+
+
+def step_mhd1d(state: State, dt, sim: SimConfig, grid: GridConfig,
+               problem=None, phi=None):
+    """1D (R) cylindrical CTU step for MHD.
+
+    The MHD code path of integrate_1d_ctu.c under CYLINDRICAL: B1c/B1i
+    are never updated (in 1D axisymmetry d(R·B1)/dt = 0 and the problem
+    initializes them), B2c/B3c ride the sweep vector as By/Bz with
+    geometric sources, and the time-centered M1 geometric source gains
+    the magnetic term -B2ch^2 (integrate_1d_ctu.c:228-288 state sources,
+    :404-436 n+1/2 source, :534-551 update).  B2i/B3i are set to the
+    cell-centered values for consistency (:548-550)."""
+    from .sweep import to_sweep
+
+    assert sim.mhd and sim.adiabatic
+    assert grid.active(0) and not grid.active(1) and not grid.active(2)
+    if sim.flux != "roe":
+        raise NotImplementedError(
+            "cylindrical MHD requires flux=roe (the cylindrical decks' "
+            "configuration; interface pressure from roe.c:326-332)")
+    U = state.U
+    dtype = U.dtype
+    hdt = 0.5 * dt
+    r, lsf, rsf, x1vc, _ = _geometry(grid, dtype)
+    dtodx1 = dt / grid.dx[0]
+    hdtodx1 = 0.5 * dtodx1
+    ib = 5  # By (=B2c) index in the adiabatic MHD sweep vector
+
+    phic, phif, gvc = (phi if phi is not None
+                       else _phi_arrays(problem, grid, dtype))
+    geom = plm_geom(grid, dtype)
+
+    # === STEP 1: load sweep vector, primitives, L/R states =================
+    U1d, Bxc = to_sweep(U, state.Bcc, 0, sim)
+    Bxi = state.B1i  # face field at interface f (left face of cell f)
+    W = cons1d_to_prim1d(U1d, Bxc, sim)
+    Wm, Wp_ = reconstruct.lr_states(W, Bxc, dtodx1, sim, geom=geom)
+    Wl = _sh(Wp_, -1, 0)
+    Wr = Wm
+
+    # Step 1c: gravity dt/2 in acceleration form at x1vc (:156-161)
+    if gvc is not None:
+        Wl = Wl.at[1].add(-hdt * _shf(gvc, -1, 0))
+        Wr = Wr.at[1].add(-hdt * gvc)
+
+    # Step 1c cont: cell-centered geometric sources at t^n (:228-288),
+    # with the MHD extras on Vx/Vy and the By/Bz source terms
+    def _src(Wc, Bx, rinv):
+        di = 1.0 / Wc[0]
+        out = [None] * W.shape[0]
+        out[0] = -Wc[0] * Wc[1] * rinv
+        out[1] = (Wc[2] * Wc[2] - Wc[ib] * Wc[ib] * di) * rinv
+        out[2] = (-Wc[1] * Wc[2] + Bx * Wc[ib] * di) * rinv
+        out[3] = jnp.zeros_like(out[0])
+        out[4] = -sim.gamma * Wc[4] * Wc[1] * rinv
+        out[ib] = -Wc[2] * Bx * rinv
+        out[ib + 1] = -Wc[1] * Wc[ib + 1] * rinv
+        for n in range(sim.nscalars):
+            out[ib + 2 + n] = jnp.zeros_like(out[0])
+        return jnp.stack(out)
+
+    rinv = 1.0 / x1vc
+    src_r = _src(W, Bxc, rinv)
+    src_l = _sh(src_r, -1, 0)
+    Wl = Wl + hdt * src_l
+    Wr = Wr + hdt * src_r
+
+    # Step 1d: interface fluxes with the face B1i and cylindrical Pflux
+    Ul = prim1d_to_cons1d(Wl, Bxi, sim)
+    Ur = prim1d_to_cons1d(Wr, Bxi, sim)
+    F1, pflux = riemann.roe(Ul, Ur, Wl, Wr, Bxi, sim, return_pflux=True)
+    F1r = _sh(F1, 1, 0)
+
+    # === STEP 11a: time-centered geometric source (:404-436) ===============
+    dhalf = U[ID] - hdtodx1 * (rsf * F1r[ID] - lsf * F1[ID])
+    M2h = U[IM1 + 1] - hdtodx1 * (rsf * rsf * F1r[IM1 + 1] -
+                                  lsf * lsf * F1[IM1 + 1])
+    geom_src = M2h * M2h / dhalf
+    B2ch = state.Bcc[1] - hdtodx1 * (F1r[ib] - F1[ib])
+    geom_src = geom_src - B2ch * B2ch
+    pavgh = 0.5 * (lsf * pflux + rsf * _shf(pflux, 1, 0))
+    geom_src = geom_src + pavgh
+    geom_src = geom_src / x1vc
+    Unew = U.at[IM1].add(dt * geom_src)
+
+    # === STEP 11a cont: gravity at n+1/2 (:446-466) ========================
+    if gvc is not None:
+        Unew = Unew.at[IM1].add(-dt * dhalf * gvc)
+        phir = _shf(phif[0], 1, 0)
+        phil = phif[0]
+        dE = dtodx1 * (lsf * F1[ID] * (phic - phil) +
+                       rsf * F1r[ID] * (phir - phic))
+        Unew = Unew.at[IEN].add(-dE)
+
+    # === STEP 12: conservative update (:534-551) ===========================
+    # sweep order = physical order for axis 0; By/Bz handled separately
+    for n, comp in ((ID, ID), (IM1, IM1), (IM1 + 1, IM1 + 1),
+                    (IM1 + 2, IM1 + 2), (IEN, IEN)):
+        if n == IM1 + 1:
+            Unew = Unew.at[comp].add(
+                -dtodx1 * (rsf * rsf * F1r[n] - lsf * lsf * F1[n]))
+        else:
+            Unew = Unew.at[comp].add(
+                -dtodx1 * (rsf * F1r[n] - lsf * F1[n]))
+    for n in range(sim.nscalars):
+        Unew = Unew.at[5 + n].add(
+            -dtodx1 * (rsf * F1r[ib + 2 + n] - lsf * F1[ib + 2 + n]))
+    B2new = state.Bcc[1] - dtodx1 * (F1r[ib] - F1[ib])
+    B3new = state.Bcc[2] - dtodx1 * (rsf * F1r[ib + 1] - lsf * F1[ib + 1])
+
+    sl_ = (slice(None),) + grid.interior()
+    Uout = U.at[sl_].set(Unew[sl_])
+    isl = grid.interior()
+    Bcc = state.Bcc
+    Bcc = Bcc.at[(1,) + isl].set(B2new[isl])
+    Bcc = Bcc.at[(2,) + isl].set(B3new[isl])
+    return state.replace(U=Uout, Bcc=Bcc,
+                         B2i=state.B2i.at[isl].set(Bcc[(1,) + isl]),
+                         B3i=state.B3i.at[isl].set(Bcc[(2,) + isl]))

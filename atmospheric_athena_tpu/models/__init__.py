@@ -30,7 +30,7 @@ _BUILTIN = ("shkset1d", "linear_wave", "blast", "ifront", "ioniz_sphere",
             "jeans", "shkset2d", "shkset3d", "kh", "rt", "orszag_tang",
             "cpaw", "field_loop", "hgb", "cylblast", "cylwindrot", "turb",
             "strat", "par_epicycle", "par_friction", "noh", "cshock1d",
-            "twoibw", "pgflow", "hall_drift")
+            "twoibw", "pgflow", "hall_drift", "cylwindrotb")
 
 
 def get_problem(name: str):

@@ -109,7 +109,8 @@ def hlle(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
     return _hlle_core(Ul, Ur, Wl, Wr, Bxi, sim, avg, ev)
 
 
-def _hlle_core(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, avg, ev):
+def _hlle_core(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, avg, ev,
+               return_pflux=False):
     """HLLE body with the Roe averages/eigenvalues passed in, so the
     branchless Roe fallback reuses them instead of recomputing (hlle.c's
     own computation is value-identical — the eigenvalues do not depend on
@@ -141,17 +142,30 @@ def _hlle_core(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, avg, ev):
                         bm=bm, bp=bp)
     tmp = 0.5 * (bp + bm) / (bp - bm)
     F = [0.5 * (fl + fr) + (fl - fr) * tmp for fl, fr in zip(Fl, Fr)]
+    if return_pflux:
+        # cylindrical interface pressure, blended like any component
+        # (hlle.c:241-246, 262-265)
+        Pl = Wl[4] + (avg["pbl"] if sim.mhd else 0.0)
+        Pr = Wr[4] + (avg["pbr"] if sim.mhd else 0.0)
+        pflux = 0.5 * (Pl + Pr) + (Pl - Pr) * tmp
+        return jnp.stack(F), pflux
     return jnp.stack(F)
 
 
-def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
+def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False,
+        return_pflux=False):
     """Roe flux with supersonic short-circuit (roe.c:215-235), intermediate-
     state positivity test and per-interface HLLE fallback (roe.c:256-284),
     and H-correction via `etah` (roe.c:295-300).
 
     branchless=True always evaluates the HLLE fallback and blends with
     jnp.where (identical values) — required inside Pallas kernels, and free
-    when the computation is HBM-bound."""
+    when the computation is HBM-bound.
+
+    return_pflux: also return the cylindrical interface pressure
+    (roe.c:326-332 star-state average; supersonic branches return Wl.P
+    plus the SIDE magnetic pressure — note the reference uses Wl.P in
+    BOTH supersonic branches, roe.c:218,229, reproduced faithfully)."""
     nw = sim.nwave
     if etah is None:
         etah = 0.0
@@ -183,9 +197,14 @@ def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
                     u_inter[nw - 2] ** 2 + u_inter[nw - 1] ** 2 + Bxi ** 2)
             bad = bad | (expanding & (p_inter < 0.0))
 
-    # Step 8: Roe flux (roe.c:295-312)
+    # Step 8: Roe flux (roe.c:295-312); with return_pflux also the
+    # star-state average u_inter (roe.c:297-313 coeff2 terms)
     coeff = [0.5 * jnp.maximum(jnp.abs(ev[m]), etah) * a[m]
              for m in range(nw)]
+    if return_pflux:
+        sgn = [jnp.where(ev[m] < 0.0, -1.0, 1.0) for m in range(nw)]
+        coeff2 = [0.5 * sgn[m] * a[m] for m in range(nw)]
+        u2 = [0.5 * (Ul[n] + Ur[n]) for n in range(nw)]
     F = []
     for n in range(nw):
         f = 0.5 * (Fl[n] + Fr[n])
@@ -195,6 +214,9 @@ def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
                 continue
             f = f - coeff[m] if isinstance(c, float) and c == 1.0 \
                 else f - coeff[m] * c
+            if return_pflux:
+                u2[n] = u2[n] - coeff2[m] if isinstance(c, float) \
+                    and c == 1.0 else u2[n] - coeff2[m] * c
         F.append(f)
 
     # Supersonic short-circuit (roe.c:215-235) — overrides the fallback too,
@@ -203,6 +225,18 @@ def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
     sup_r = ev[nw - 1] <= 0.0
     F = [jnp.where(sup_l, fl, jnp.where(sup_r, fr, f))
          for f, fl, fr in zip(F, Fl, Fr)]
+    pflux = None
+    if return_pflux:
+        # star-state pressure (roe.c:326-332)
+        Emag = 0.0
+        if sim.mhd:
+            Emag = 0.5 * (u2[nw - 2] ** 2 + u2[nw - 1] ** 2 + Bxi ** 2)
+        Ekin = 0.5 * (u2[1] ** 2 + u2[2] ** 2 + u2[3] ** 2) / u2[0]
+        Eint = u2[4] - Emag - Ekin
+        p_roe = sim.gamma_1 * Eint + Emag
+        p_supl = Wl[4] + (avg["pbl"] if sim.mhd else 0.0)
+        p_supr = Wl[4] + (avg["pbr"] if sim.mhd else 0.0)   # Wl.P: r.c:229
+        pflux = jnp.where(sup_l, p_supl, jnp.where(sup_r, p_supr, p_roe))
 
     # Scalar fluxes upwinded on the density flux sign (roe.c:315-321)
     iw = nw
@@ -216,6 +250,12 @@ def roe(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None, branchless=False):
     # here a lax.cond skips the whole HLLE evaluation on the (typical)
     # steps with no failures at all.
     use_hlle = bad & ~(sup_l | sup_r)
+
+    if return_pflux:
+        F_hlle, p_hlle = _hlle_core(Ul, Ur, Wl, Wr, Bxi, sim, avg, ev,
+                                    return_pflux=True)
+        return (jnp.where(use_hlle, F_hlle, F),
+                jnp.where(use_hlle, p_hlle, pflux))
 
     def with_fallback(_):
         F_hlle = _hlle_core(Ul, Ur, Wl, Wr, Bxi, sim, avg, ev)

@@ -160,9 +160,13 @@ class Simulation:
         ndim = grid.ndim
 
         if grid.cylindrical:
-            if sim.integrator != "ctu" or sim.mhd:
+            if sim.integrator != "ctu":
                 raise NotImplementedError(
-                    "cylindrical coordinates: CTU hydro only")
+                    "cylindrical coordinates: CTU integrator only")
+            if sim.mhd and ndim != 1:
+                raise NotImplementedError(
+                    "cylindrical MHD: 1D (R) only so far "
+                    "(integrators/cyl.step_mhd1d); 2D/3D CT pending")
             from .integrators import cyl as integ
         elif sim.integrator == "vl":
             if ndim == 3:

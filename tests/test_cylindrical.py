@@ -74,3 +74,38 @@ def test_cylwindrot_steady_state():
     U = np.asarray(s.state.U)[sl]
     drift = np.abs(U - U0).max() / np.abs(U0).max()
     assert drift < 5e-3, drift
+
+
+def test_cylwindrotb_1d_mhd_vs_reference():
+    """1D cylindrical MHD (integrators/cyl.step_mhd1d) vs the reference
+    --with-coord=cylindrical --with-gas=mhd --with-flux=roe build on
+    athinput.cylwindrotb-1D (Sakurai's magnetized rotating wind), 30
+    cycles.  Init is bit-exact (same bisection); trajectory at 1e-12."""
+    s = Simulation.from_file(os.path.join(GOLD, "athinput.cwrb1d"),
+                             problem="cylwindrotb", dtype="float64")
+    assert s.grid.cylindrical and s.sim.mhd and s.sim.flux == "roe"
+    g = np.load(os.path.join(GOLD, "cwrb1d_30cycles.npz"))
+    sl = (slice(None),) + s.grid.interior()
+    U = np.asarray(s.state.U)[sl]
+    B = np.asarray(s.state.Bcc)[sl]
+    for k, n in [(0, "d"), (1, "M1"), (2, "M2"), (4, "E")]:
+        np.testing.assert_allclose(U[k][0, 0], g[n + "_init"], rtol=0,
+                                   atol=1e-13 * np.abs(g[n + "_init"]).max())
+    for k, n in [(0, "B1c"), (1, "B2c")]:
+        np.testing.assert_allclose(B[k][0, 0], g[n + "_init"], rtol=0,
+                                   atol=1e-13 * np.abs(g[n + "_init"]).max())
+
+    for _ in range(30):
+        s.step()
+    assert float(s.state.time) == pytest.approx(float(g["time"]),
+                                                rel=1e-6)
+    U = np.asarray(s.state.U)[sl]
+    B = np.asarray(s.state.Bcc)[sl]
+    for k, n in [(0, "d"), (1, "M1"), (2, "M2"), (3, "M3"), (4, "E")]:
+        scale = max(np.abs(g[n]).max(), 1e-30)
+        np.testing.assert_allclose(U[k][0, 0], g[n], rtol=0,
+                                   atol=1e-12 * scale)
+    for k, n in [(0, "B1c"), (1, "B2c"), (2, "B3c")]:
+        scale = max(np.abs(g[n]).max(), 1e-30)
+        np.testing.assert_allclose(B[k][0, 0], g[n], rtol=0,
+                                   atol=1e-12 * scale)
