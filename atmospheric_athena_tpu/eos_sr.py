@@ -394,3 +394,98 @@ def sr_mhd_vsq1d_fix(U, Bx, sim: SimConfig):
                       W - p + 0.5 * (1.0 + v2) * Bsq - 0.5 * Ssq / (W * W),
                       By, Bz])
     return sr_mhd_cons1d_to_prim1d(Ufix, Bx, sim)
+
+
+def sr_mhd_entropy_fix1d(U, Bx, ent, sim: SimConfig):
+    """entropy_fix1D, SR-MHD (convert_var.c:1007-1120): recover W from
+    (D, M, B) and the ADVECTED lab-frame entropy density ent = D·p·rho^-Γ
+    instead of the (corrupted) total energy — the USE_ENTROPY_FIX stage
+    of integrate_3d_vl_sr.c.  1D NR on Q with
+      f(Q)  = d·p·rho^-Γ − ent                        (calc_ent_func)
+      f'(Q) = d·rho^-Γ·dp_dQ − Γ·p·d·rho^-(Γ+1)·drho_dQ
+              (calc_ent_dfunc — DELIBERATE DEVIATION: the reference's
+              second term reads Γ·p·rho^(Γ+1)·drho_dQ, convert_var.c:
+              1265, an apparent sign/factor slip in the exponent that
+              makes Newton diverge for rho > 1 — i.e. exactly the dense
+              post-shock cells this rescue path exists for.  The correct
+              analytic derivative is used instead; the ROOT of f(Q) is
+              identical, so any state the reference's iteration does
+              recover agrees to the tolerance)
+    Returns W (7-vector); failed cells get the reference's sentinel
+    (d = P = −1, V = 1) so the caller's physicality check rejects them."""
+    D, Mx, My, Mz = U[0], U[1], U[2], U[3]
+    By, Bz = U[5], U[6]
+    Bsq = Bx ** 2 + By ** 2 + Bz ** 2
+    Msq = Mx ** 2 + My ** 2 + Mz ** 2
+    S = Mx * Bx + My * By + Mz * Bz
+    Ssq = S ** 2
+    E = U[4]
+    d = D
+    gamma, g1 = sim.gamma, sim.gamma_1
+
+    # starting guess: +ve root of A27 (same as the energy NR, :1031-1040)
+    scrh1 = -4.0 * (E - Bsq)
+    scrh2 = Msq - 2.0 * E * Bsq + Bsq * Bsq
+    Q0 = exact_div(-scrh1 + jnp.sqrt(jnp.abs(scrh1 ** 2 - 12.0 * scrh2)),
+                   6.0)
+    fail0 = jnp.isnan(Q0)
+    Q0 = jnp.where(Q0 < 0.0, d, Q0)
+
+    tol = 1.0e-10 if U.dtype == jnp.float64 else 3.0e-6
+
+    def fdf(Q):
+        Vsq, Gsq, G, Chi, rho, pgas = _nr_scalars(d, Bsq, Msq, Ssq, Q,
+                                                  g1, gamma)
+        fQ = d * pgas * rho ** (-gamma) - ent
+        Qth = Q * Q * Q
+        s1 = Q + Bsq
+        dVsq_dQ = (Ssq * (3.0 * Q * s1 + Bsq * Bsq) + Msq * Qth) * \
+            (-2.0 / Qth / (s1 * s1 * s1))
+        dchi_dQ = 1.0 - Vsq - 0.5 * G * (d + 2.0 * Chi * G) * dVsq_dQ
+        drho_dQ = -0.5 * d * G * dVsq_dQ
+        dp_dQ = exact_div(g1, gamma) * dchi_dQ
+        dfQ = d * rho ** (-gamma) * dp_dQ \
+            - gamma * pgas * d * rho ** (-(gamma + 1.0)) * drho_dQ
+        return fQ, dfQ
+
+    def body(carry):
+        Q, dQstep, it, succ, fail = carry
+        active = ~succ & ~fail
+        conv = jnp.abs(dQstep) <= tol
+        fQ, dfQ = fdf(Q)
+        nan_hit = jnp.isnan(fQ) | jnp.isnan(dfQ)
+        dstep = fQ / dfQ
+        nan_hit = nan_hit | jnp.isnan(dstep)
+        Qn = Q - dstep
+        nan_hit = nan_hit | jnp.isnan(Qn)
+        Qout = jnp.where(active, Qn, Q)
+        dso = jnp.where(active, dstep, dQstep)
+        succ_o = succ | (active & conv & ~nan_hit)
+        fail_o = fail | (active & nan_hit)
+        return (Qout, dso, it + 1, succ_o, fail_o)
+
+    def cond(carry):
+        _, _, it, succ, fail = carry
+        return (it < 1000) & ~jnp.all(succ | fail)
+
+    init = (Q0, jnp.ones_like(Q0), jnp.zeros((), jnp.int32),
+            jnp.zeros_like(fail0), fail0)
+    Q, _, _, succ, fail = jax.lax.while_loop(cond, body, init)
+    ok = succ & ~fail
+
+    Vsq, Gsq, G, Chi, rho, pgas = _nr_scalars(d, Bsq, Msq, Ssq, Q,
+                                              g1, gamma)
+    tmp1 = 1.0 / Q
+    tmp2 = 1.0 / (Q + Bsq)
+    Vx = (Mx + S * Bx * tmp1) * tmp2
+    Vy = (My + S * By * tmp1) * tmp2
+    Vz = (Mz + S * Bz * tmp1) * tmp2
+    one = jnp.ones_like(rho)
+    W = jnp.stack([
+        jnp.where(ok, rho, -one),
+        jnp.where(ok, Vx, one),
+        jnp.where(ok, Vy, one),
+        jnp.where(ok, Vz, one),
+        jnp.where(ok, pgas, -one),
+        By, Bz])
+    return W

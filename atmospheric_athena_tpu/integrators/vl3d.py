@@ -80,8 +80,6 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
         # integrate_3d_vl_sr.c:152-157 — per-axis conversion of the
         # permuted stack differs in the |M|^2 summation order by ulps)
         if sim.mhd:
-            assert not sim.first_order_flux_correction, \
-                "FOFC pending in 3D VL SR-MHD"
             from ..eos_sr import (sr_mhd_cons1d_to_prim1d,
                                   sr_mhd_prim1d_to_cons1d)
             U7x, _Bx0 = _sweep_pack(state.U, state.Bcc, 0, sim)
@@ -89,6 +87,14 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             Wphys, rphys = _Wf[:5], _Wf[7:]
         else:
             Wphys = sr_cons1d_to_prim1d(state.U, sim)
+        # USE_ENTROPY_FIX (auto-on for SR-MHD, integrate_3d_vl_sr.c:44-46):
+        # advect the lab-frame entropy density S = D·p·rho^-Γ alongside U
+        # as the fallback inversion target for cells whose Noble NR fails
+        use_entropy = sim.mhd
+        if use_entropy:
+            # S = W.P * W.d^(1-Γ) * (U.d / W.d)   (:157-159)
+            Sent = (Wphys[4] * Wphys[0] ** (1.0 - sim.gamma)
+                    * (state.U[ID] / Wphys[0]))
     # exact_div: XLA folds division by a constant dx into multiplication by
     # its reciprocal; dx values that are not powers of two (e.g. 0.046875)
     # then differ from the reference's true division by an ulp, which is
@@ -107,7 +113,7 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
                                                          U.dtype)
 
     # === STEPS 1-3: first-order (donor cell) fluxes at t^n ==================
-    Fp, FByz = {}, {}
+    Fp, FByz, FS = {}, {}, {}
     for a in axes:
         U1d, Bxc = _sweep_pack(U, Bcc, a, sim)
         if sr:
@@ -127,6 +133,9 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
                 Ul = sr_mhd_prim1d_to_cons1d(Wl, _shf(Bxc, -1, a), sim)
                 Ur = sr_mhd_prim1d_to_cons1d(Wr, Bxc, sim)
                 F = riemann.fluxes(Ul, Ur, Wl, Wr, Bi[a], sim)
+                if use_entropy:
+                    from ..ops.riemann_sr import entropy_flux_mhd
+                    FS[a] = entropy_flux_mhd(Ul, Ur, Wl, Wr, Bi[a], sim)
             else:
                 Ul = sr_prim1d_to_cons1d(Wl, sim)
                 Ur = sr_prim1d_to_cons1d(Wr, sim)
@@ -187,9 +196,35 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             U7h, _Bxh0 = _sweep_pack(Uhalf, Bcch, 0, sim)
             _Wfh = sr_mhd_cons1d_to_prim1d(U7h, _Bxh0, sim)
             Whalf_phys, rhalf = _Wfh[:5], _Wfh[7:]
+            if use_entropy:
+                # Shalf = S - hdt·div(F_S)  (:276, 333)
+                Shalf = Sent
+                for a in axes:
+                    Shalf = Shalf - q[a] * (_shf(FS[a], 1, a) - FS[a])
+                # Step 7: where the t_half inversion is unphysical, try
+                # the entropy inversion; else carry the t^n primitives
+                # (:652-686).  A no-op on healthy steps.
+                from ..eos_sr import sr_mhd_entropy_fix1d
+                dh_, vxh, vyh, vzh, Ph_ = (Whalf_phys[0], Whalf_phys[1],
+                                           Whalf_phys[2], Whalf_phys[3],
+                                           Whalf_phys[4])
+                vsqh = vxh ** 2 + vyh ** 2 + vzh ** 2
+                badh = (~(dh_ > 0.0)) | (~(Ph_ > 0.0)) | (vsqh > 1.0)
+
+                def _half_fix(Wh):
+                    Wfix = sr_mhd_entropy_fix1d(U7h, _Bxh0, Shalf, sim)
+                    vsqf = Wfix[1] ** 2 + Wfix[2] ** 2 + Wfix[3] ** 2
+                    okf = (Wfix[0] > 0.0) & (Wfix[4] > 0.0) & (vsqf < 1.0)
+                    use_fix = badh & okf
+                    use_n = badh & ~okf
+                    out = jnp.where(use_fix[None], Wfix[:5], Wh)
+                    return jnp.where(use_n[None], Wphys, out)
+
+                Whalf_phys = jax.lax.cond(jnp.any(badh), _half_fix,
+                                          lambda W: W, Whalf_phys)
         else:
             Whalf_phys = sr_cons1d_to_prim1d(Uhalf, sim)
-    Fp2, FByz2 = {}, {}
+    Fp2, FByz2, FS2 = {}, {}, {}
     for a in axes:
         U1d, Bxc = _sweep_pack(Uhalf, Bcch, a, sim)
         if sr:
@@ -210,6 +245,9 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
                 Ul = sr_mhd_prim1d_to_cons1d(Wl, Bxi, sim)
                 Ur = sr_mhd_prim1d_to_cons1d(Wr, Bxi, sim)
                 F = riemann.fluxes(Ul, Ur, Wl, Wr, Bxi, sim)
+                if use_entropy:
+                    from ..ops.riemann_sr import entropy_flux_mhd
+                    FS2[a] = entropy_flux_mhd(Ul, Ur, Wl, Wr, Bxi, sim)
             else:
                 Ul = sr_prim1d_to_cons1d(Wl, sim)
                 Ur = sr_prim1d_to_cons1d(Wr, sim)
@@ -269,7 +307,19 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
 
     # === STEP 14: first-order flux correction ===============================
     if sim.first_order_flux_correction:
-        if sr:
+        if sr and sim.mhd:
+            # SR-MHD failure test via check_Prim with the post-CT
+            # cell-centered B (integrate_3d_vl_sr.c Step 15a)
+            from ..eos_sr import sr_mhd_check_prim1d
+            Bt = face_update(emfC)
+            Bcc_test = jnp.stack([0.5 * (Bt[a] + _shf(Bt[a], 1, a))
+                                  for a in axes])
+            U7t = jnp.concatenate([Unew[:5], Bcc_test[1][None],
+                                   Bcc_test[2][None]], 0)
+            Wch = sr_mhd_check_prim1d(U7t, Bcc_test[0], sim)
+            vsqch = Wch[1] ** 2 + Wch[2] ** 2 + Wch[3] ** 2
+            bad = (~(Wch[0] > 0.0)) | (~(Wch[4] > 0.0)) | (vsqch > 1.0)
+        elif sr:
             # SR failure test via check_Prim: unphysical inversion
             # (d<=0, P<=0 or v>=1), integrate_3d_vl_sr.c Step 15
             from ..eos_sr import sr_check_prim1d
@@ -291,13 +341,22 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
             else:
                 bad = dn < 0.0
 
+        ent_fofc = sr and sim.mhd
+        FS2u = tuple(FS2[a] for a in axes) if ent_fofc else ()
+
         def fix(args):
-            Unew, emf_use = args
+            Unew, emf_use, FS2u = args
             Uc = Unew
+            FS2u = list(FS2u)
             for a in axes:
                 bad_face = bad | _shf(bad, -1, a)
                 FD = jnp.where(bad_face, Fp2[a] - Fp[a], 0.0)
                 Uc = Uc + dtodx[a] * (_sh(FD, 1, a) - FD)
+                if ent_fofc:
+                    # the entropy fluxes get the same first-order redo
+                    # (x1FluxS -> x1FluxSP analogue)
+                    FSD = jnp.where(bad_face, FS2[a] - FS[a], 0.0)
+                    FS2u[a] = FS2u[a] - FSD
             if sim.mhd:
                 new_emf = []
                 for e in axes:
@@ -307,22 +366,67 @@ def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
                     new_emf.append(jnp.where(mask, emfP[e], emf_use[e]))
             else:
                 new_emf = emf_use
-            return Uc, new_emf
+            return Uc, new_emf, tuple(FS2u)
 
         if sim.mhd:
-            Unew, emf_use = jax.lax.cond(
-                jnp.any(bad), fix, lambda x: x, (Unew, emf_use))
+            Unew, emf_use, FS2u = jax.lax.cond(
+                jnp.any(bad), fix, lambda x: x, (Unew, emf_use, FS2u))
         else:
             Unew = jax.lax.cond(jnp.any(bad),
-                                lambda x: fix((x, None))[0],
+                                lambda x: fix((x, None, ()))[0],
                                 lambda x: x, Unew)
 
-        if sr:
+        if sr and sim.mhd:
+            # Step 15b, SR-MHD: still-unphysical cells first try the
+            # ENTROPY inversion with the advected S^{n+1}, then the vsq
+            # fix, both with the final cell-centered B
+            # (integrate_3d_vl_sr.c:1398-1433)
+            from ..eos_sr import (sr_mhd_check_prim1d,
+                                  sr_mhd_entropy_fix1d, sr_mhd_vsq1d_fix,
+                                  sr_mhd_prim1d_to_cons1d as _w2u7)
+            Btf = face_update(emf_use)
+            Bccf = jnp.stack([0.5 * (Btf[a] + _shf(Btf[a], 1, a))
+                              for a in axes])
+            # S^{n+1} from the (possibly FOFC-redone) corrector entropy
+            # fluxes (:1258-1310 update + :1856-1944 corrections)
+            Sfull = Sent
+            for i, a in enumerate(axes):
+                Sfull = Sfull - dtodx[a] * (_shf(FS2u[i], 1, a) - FS2u[i])
+
+            def vfix_mhd(Uin):
+                U7f = jnp.concatenate([Uin[:5], Bccf[1][None],
+                                       Bccf[2][None]], 0)
+                Wc = sr_mhd_check_prim1d(U7f, Bccf[0], sim)
+                vsq2 = Wc[1] ** 2 + Wc[2] ** 2 + Wc[3] ** 2
+                bad2 = (~(Wc[0] > 0.0)) | (~(Wc[4] > 0.0)) | (vsq2 > 1.0)
+
+                def apply(Uin):
+                    U7f_ = jnp.concatenate([Uin[:5], Bccf[1][None],
+                                            Bccf[2][None]], 0)
+                    # entropy stage: accept only round-trip-physical
+                    # results (:1400-1414)
+                    We = sr_mhd_entropy_fix1d(U7f_, Bccf[0], Sfull, sim)
+                    Ue = _w2u7(We, Bccf[0], sim)
+                    Wec = sr_mhd_check_prim1d(Ue, Bccf[0], sim)
+                    vsqe = Wec[1] ** 2 + Wec[2] ** 2 + Wec[3] ** 2
+                    ok_e = (Wec[0] > 0.0) & (Wec[4] > 0.0) & (vsqe < 1.0)
+                    take_e = bad2 & ok_e
+                    still = bad2 & ~ok_e
+                    # final stage: vsq fix (:1416-1433)
+                    Wv = sr_mhd_vsq1d_fix(U7f_, Bccf[0], sim)
+                    Uv = _w2u7(Wv, Bccf[0], sim)
+                    out = jnp.where(take_e[None], Ue[:5], Uin[:5])
+                    out = jnp.where(still[None], Uv[:5], out)
+                    return jnp.concatenate([out, Uin[5:]], 0)
+
+                return jax.lax.cond(jnp.any(bad2), apply,
+                                    lambda x: x, Uin)
+
+            Unew = vfix_mhd(Unew)
+        elif sr:
             # Step 15b: cells still unphysical after the first-order
             # redo get the vsq fix (floor state + secant closure on v^2;
-            # fix_vsq/vsq1D_fix with B = 0 for hydro).  The optional
-            # USE_ENTROPY_FIX intermediate stage (advected entropy) is
-            # not implemented.
+            # fix_vsq/vsq1D_fix with B = 0 for hydro)
             from ..eos_sr import (sr_check_prim1d, sr_mhd_vsq1d_fix,
                                   sr_prim1d_to_cons1d as _w2u)
 

@@ -337,6 +337,24 @@ def _signal_speeds_mhd(Wl, Wr, Bx, sim: SimConfig):
     return Sl, Sr, bad & bade
 
 
+def entropy_flux_mhd(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig):
+    """entropy_flux (hlle_sr.c:218-322): the HLLE blend of the lab-frame
+    entropy-density flux F_S = S·Vx with S = D·p·rho^-Γ, using the same
+    PLUTO/ECHO signal speeds as the SR-MHD solvers.  Used by the
+    USE_ENTROPY_FIX stage of the VL SR-MHD integrator."""
+    gamma = sim.gamma
+    WSl = Wl[4] * Wl[0] ** (1.0 - gamma)
+    WSr = Wr[4] * Wr[0] ** (1.0 - gamma)
+    USl = WSl * Ul[0] / Wl[0]
+    USr = WSr * Ur[0] / Wr[0]
+    Fl = USl * Wl[1]
+    Fr = USr * Wr[1]
+    Sl, Sr, _ = _signal_speeds_mhd(Wl, Wr, Bxi, sim)
+    dS_1 = 1.0 / (Sr - Sl)
+    Fhll = (Sr * Fl - Sl * Fr + Sl * Sr * (USr - USl)) * dS_1
+    return jnp.where(Sl >= 0.0, Fl, jnp.where(Sr <= 0.0, Fr, Fhll))
+
+
 def hlle_sr_mhd(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
     """HLLE, SR MHD (hlle_sr.c:64-213)."""
     Sl, Sr, _ = _signal_speeds_mhd(Wl, Wr, Bxi, sim)
