@@ -30,7 +30,8 @@ _BUILTIN = ("shkset1d", "linear_wave", "blast", "ifront", "ioniz_sphere",
             "jeans", "shkset2d", "shkset3d", "kh", "rt", "orszag_tang",
             "cpaw", "field_loop", "hgb", "cylblast", "cylwindrot", "turb",
             "strat", "par_epicycle", "par_friction", "noh", "cshock1d",
-            "twoibw", "pgflow", "hall_drift", "cylwindrotb")
+            "twoibw", "pgflow", "hall_drift", "cylwindrotb", "shu_osher",
+            "lw_implode", "rotor", "current_sheet")
 
 
 def get_problem(name: str):

@@ -56,12 +56,12 @@ def main():
 
     par = ParameterDB.from_string(_ISPH_DECK.format(n=N))
     par.set("ionradiation", "maxiter", 50)   # bound radiation work per cycle
-    # production batched sub-cycle (pallas_rad.build_batch): K=8 substeps
+    # production batched sub-cycle (pallas_rad.build_batch): K=25 substeps
     # per kernel launch in VMEM, each accepted substep in-kernel-validated
     # against the reference per-substep dt bound (opt-in deck parameter;
     # goldens run the reference-exact K=1 path)
     par.set("ionradiation", "batch_iters",
-            int(os.environ.get("BENCH_BATCH_ITERS", "8")))
+            int(os.environ.get("BENCH_BATCH_ITERS", "25")))
     par.set("time", "nlim", 10000)
     s = Simulation.from_par(par, problem="ioniz_sphere", dtype="float32")
 
@@ -161,7 +161,7 @@ def main():
         "metric": "zone_cycles_per_second",
         "value": zcps,
         "unit": "zone-cycles/s/chip (ioniz_sphere %d^3 f32, full step, "
-                "ionrad maxiter=50, batch_iters=8)" % N,
+                "ionrad maxiter=50, batch_iters=25)" % N,
         "vs_baseline": zcps / REF_BASELINE,
         "step_ms": wall * 1e3,
         "hydro_ms": hydro_s * 1e3,
