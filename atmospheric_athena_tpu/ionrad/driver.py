@@ -491,7 +491,12 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
             # caps).
             THETA = 0.75
             K = ion.batch_iters
-            seed = bodyP(_Carry(
+            # seed dt_lim with ONE rates evaluation on the initial state
+            # (no update): the first batch's schedule THETA*dt_lim is
+            # in-kernel validated like every other, so a reference-exact
+            # seed iteration would only duplicate work the batch already
+            # proves safe (and costs an extra update kernel per step)
+            seed = _Carry(
                 E=E0, s0=s00,
                 last_sign=jnp.ones(d.shape, jnp.int32),
                 sign_count=jnp.zeros((), jnp.int32),
@@ -500,9 +505,7 @@ def ion_radtransfer(state: State, sim: SimConfig, grid: GridConfig,
                 niter=jnp.zeros((), jnp.int32),
                 stop=jnp.zeros((), bool),
                 eflux=(jnp.zeros(d.shape, d.dtype),
-                       jnp.zeros(d.shape[:2] + (1,), d.dtype))))
-            # dt_lim for the next batch: recompute the limits once on
-            # the seeded state via the rates kernel
+                       jnp.zeros(d.shape[:2] + (1,), d.dtype)))
             _, _, _, _, _, dtc0, dtt0 = rates_fn(seed.s0, seed.E,
                                                  seed.last_sign, Fin0)
             carryB = (seed, jnp.minimum(dtc0, dtt0))

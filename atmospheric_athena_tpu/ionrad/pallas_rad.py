@@ -127,7 +127,14 @@ def _sweep_x(s0, Fin, dx1, cell_len, ion: IonConfig, fast=False):
     ones = jnp.ones_like(T_incl[..., :1])
     T_faces = jnp.concatenate([ones, T_incl], axis=-1)
     F_faces = Fin * T_faces
-    frac = F_faces / (Fin + 1e-12)
+    if fast:
+        # one reciprocal of the (scalar / per-column) inlet feeds the
+        # whole face array instead of a full-field divide; frac only
+        # feeds the MINFLUXFRAC threshold, and the batch path is not
+        # held to bitwise equality with the jnp formulation
+        frac = F_faces * (1.0 / (Fin + 1e-12))
+    else:
+        frac = F_faces / (Fin + 1e-12)
     idx = jax.lax.broadcasted_iota(jnp.int32, frac.shape, frac.ndim - 1)
     alive = (idx == 0) | (frac >= MINFLUXFRAC)
     if fast:

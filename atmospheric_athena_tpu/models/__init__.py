@@ -31,7 +31,7 @@ _BUILTIN = ("shkset1d", "linear_wave", "blast", "ifront", "ioniz_sphere",
             "cpaw", "field_loop", "hgb", "cylblast", "cylwindrot", "turb",
             "strat", "par_epicycle", "par_friction", "noh", "cshock1d",
             "twoibw", "pgflow", "hall_drift", "cylwindrotb", "shu_osher",
-            "lw_implode", "rotor", "current_sheet")
+            "lw_implode", "rotor", "current_sheet", "testsedov", "carbuncle")
 
 
 def get_problem(name: str):

@@ -109,23 +109,43 @@ class IonizSphere:
     def _reset_build(self, key, dtype, sim, grid):
         gamma, g1 = sim.gamma, sim.gamma_1
         xs = [np.asarray(grid.cc_coords(a)) for a in range(3)]
-        x1 = jnp.asarray(xs[0]).reshape(1, 1, -1)
-        x2 = jnp.asarray(xs[1]).reshape(1, -1, 1)
-        x3 = jnp.asarray(xs[2]).reshape(-1, 1, 1)
-        rad2 = jnp.broadcast_to(x1 ** 2 + x2 ** 2 + x3 ** 2,
-                                grid.padded_shape()).astype(dtype)
+        x1 = xs[0].reshape(1, 1, -1)
+        x2 = xs[1].reshape(1, -1, 1)
+        x3 = xs[2].reshape(-1, 1, 1)
+        rad2 = np.broadcast_to(x1 ** 2 + x2 ** 2 + x3 ** 2,
+                               grid.padded_shape()).astype(dtype)
         inside = rad2 <= self.rreset2
         # only active cells (is..ie loops)
         act = np.zeros(grid.padded_shape(), bool)
         act[grid.interior()] = True
-        inside = inside & jnp.asarray(act)
+        inside = inside & act
 
-        myrho = (g1 / gamma * self.GM / self.K /
-                 jnp.maximum(jnp.sqrt(rad2), TINY_NUMBER)
-                 + self.Cp) ** self.powindex
-        myrho = jnp.minimum(myrho, self.rho0)
-        myE = self.K * myrho ** gamma / g1
-        out = (inside, myrho, myE)
+        # the reset sphere covers O(0.1%) of the flagship grid: restrict
+        # the per-cycle update to the mask's static bounding box so
+        # userwork costs a small dynamic-update-slice, not a full-grid
+        # select over six fields (same values, same cells)
+        if inside.any():
+            zi, yi, xi = np.where(inside)
+            bbox = (slice(int(zi.min()), int(zi.max()) + 1),
+                    slice(int(yi.min()), int(yi.max()) + 1),
+                    slice(int(xi.min()), int(xi.max()) + 1))
+        else:
+            bbox = (slice(0, 1), slice(0, 1), slice(0, 1))
+
+        with np.errstate(invalid="ignore", over="ignore",
+                         divide="ignore"):
+            myrho = (g1 / gamma * self.GM / self.K /
+                     np.maximum(np.sqrt(rad2), TINY_NUMBER)
+                     + self.Cp) ** self.powindex
+            myrho = np.minimum(myrho, self.rho0).astype(dtype)
+            myE = (self.K * myrho ** gamma / g1).astype(dtype)
+        # bbox is jit-static: it lives in a host-side cache (keyed like
+        # the aux) rather than riding the traced aux tuple
+        if not hasattr(self, "_bbox_cache"):
+            self._bbox_cache = {}
+        self._bbox_cache[key] = bbox
+        out = (jnp.asarray(inside[bbox]),
+               jnp.asarray(myrho[bbox]), jnp.asarray(myE[bbox]))
         self._reset_cache = (key, out)
         return out
 
@@ -140,15 +160,22 @@ class IonizSphere:
                          aux=None):
         """Re-impose the hydrostatic profile within r < 0.75 rp each cycle
         (Userwork_in_loop, ioniz_sphere.c:283-293)."""
-        inside, myrho, myE = (aux if aux is not None else
-                              self._reset_fields(state.U.dtype, sim, grid))
+        inside, myrho, myE = (
+            aux if aux is not None else
+            self._reset_fields(state.U.dtype, sim, grid))
+        key = (str(state.U.dtype), grid.padded_shape())
+        if not hasattr(self, "_bbox_cache") or key not in self._bbox_cache:
+            self._reset_fields(state.U.dtype, sim, grid)
+        bbox = self._bbox_cache[key]
 
-        # one pass: stack the reset values per variable and select — six
-        # .at[].set's would each materialize a full copy of U
+        # one dynamic-update-slice over the mask's static bounding box:
+        # stack the reset values per variable and select within the box
         U = state.U
+        sub = U[(slice(None),) + bbox]
         zero = jnp.zeros_like(myrho)
         rows = [myrho, zero, zero, zero, myE, myrho]
-        rows += [U[i] for i in range(len(rows), U.shape[0])]  # extra scalars
+        rows += [sub[i] for i in range(len(rows), U.shape[0])]
         Ureset = jnp.stack(rows)
-        U = jnp.where(inside[None], Ureset, U)
+        U = U.at[(slice(None),) + bbox].set(
+            jnp.where(inside[None], Ureset, sub))
         return state.replace(U=U)

@@ -95,3 +95,22 @@ def test_current_sheet_physics():
     # the x3 direction stays dead (Roe wave-sum roundoff only)
     assert np.abs(np.asarray(s.state.U[3])[sl]).max() < 1e-20
     assert np.abs(np.asarray(s.state.Bcc[2])[sl]).max() < 1e-20
+
+
+@pytest.mark.slow
+def test_carbuncle_20cycles():
+    """Carbuncle test (carbuncle.c): Mach-10 inflow reflecting off the
+    outer-x1 wall with a checkerboard M2 seed (shk_flag=1)."""
+    _run_compare("athinput.carbuncle", "carbuncle_20cycles.npz",
+                 "carbuncle", 20, ["d", "M1", "M2", "M3", "E"],
+                 1e-11, 1e-9, eager=True,
+                 gas="hydro", flux="roe", order="2", integrator="ctu")
+
+
+@pytest.mark.slow
+def test_testsedov_20cycles():
+    """Edge-driven Sedov blast (testsedov.c), 3D CTU."""
+    _run_compare("athinput.testsedov", "testsedov_20cycles.npz",
+                 "testsedov", 20, ["d", "M1", "M2", "M3", "E"],
+                 1e-11, 1e-9,
+                 gas="hydro", flux="hllc", order="2", integrator="ctu")
