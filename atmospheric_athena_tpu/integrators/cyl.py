@@ -1,5 +1,4 @@
-"""Cylindrical-coordinate CTU integrator — hydrodynamics (x1=R, x2=phi,
-x3=z).
+"""Cylindrical-coordinate CTU integrator (x1=R, x2=phi, x3=z).
 
 Re-implementation of the CYLINDRICAL code paths of
 /root/reference/src/integrators/integrate_{1,2,3}d_ctu.c (geometric
@@ -27,10 +26,12 @@ reference exactly:
   12. conservative update with rsf/lsf (and SQR(rsf) on M2 — angular
      momentum, :1560-1600).
 
-Supported: hydro (the reference's configure forbids cylindrical with
-self-gravity/particles/scalars, configure.ac:602-612), CTU, PLM
-(orders 1/2/2p), flux hllc (the tst/cylindrical suite's configuration;
-Pavgh needs the solver's interface pressure).
+Supported: hydro 1D/2D/3D with flux=hllc, MHD 1D (step_mhd1d,
+flux=roe) and 2D R-phi CTU+CT (step_mhd2d, flux=hlld) — the
+tst/cylindrical suite's configurations; Pavgh needs the solver's
+interface pressure (Pflux).  The reference's configure forbids
+cylindrical with self-gravity/particles/scalars (configure.ac:602-612).
+CTU only; PLM orders 1/2/2p.
 """
 
 from __future__ import annotations
@@ -133,9 +134,11 @@ def _geom_src_prim(W, x1vc, sim: SimConfig):
 
 def step(state: State, dt, sim: SimConfig, grid: GridConfig, problem=None,
          phi=None, return_fluxes=False):
-    """One cylindrical CTU step over the active axes (MHD: 1D only)."""
+    """One cylindrical CTU step over the active axes (MHD: 1D + 2D)."""
     if sim.mhd:
         assert not return_fluxes
+        if grid.active(1):
+            return step_mhd2d(state, dt, sim, grid, problem, phi=phi)
         return step_mhd1d(state, dt, sim, grid, problem, phi=phi)
     assert not sim.h_correction, "cylindrical decks do not use etah"
     assert sim.nscalars == 0, \
@@ -491,3 +494,360 @@ def step_mhd1d(state: State, dt, sim: SimConfig, grid: GridConfig,
     return state.replace(U=Uout, Bcc=Bcc,
                          B2i=state.B2i.at[isl].set(Bcc[(1,) + isl]),
                          B3i=state.B3i.at[isl].set(Bcc[(2,) + isl]))
+
+
+def _emf3_corner_cyl(F1d, F1By, F2d, F2Bz, ecc, lsf_c, rsf_c):
+    """Gardiner-Stone emf3 corner integration with the cylindrical
+    radius scalings (integrate_2d_ctu.c integrate_emf3_corner,
+    CYLINDRICAL branch): the (x2Flux.Bz - emf3_cc) differences in the
+    l2/r2 terms are scaled from the cell-center radii to the corner's
+    face radius, rsf_c = ri[i]/r[i], lsf_c = ri[i]/r[i-1]; the l1/r1
+    terms are unscaled.  Signs: x1Flux.By = -E3, x2Flux.Bz = +E3."""
+    from .ctu2d_mhd import _upwind
+    l2 = -_shf(F1By, -1, 1) + _upwind(
+        _shf(F1d, -1, 1),
+        lsf_c * (_shf(F2Bz, -1, 0) - _shf(_shf(ecc, -1, 0), -1, 1)),
+        rsf_c * (F2Bz - _shf(ecc, -1, 1)))
+    r2 = -F1By + _upwind(
+        F1d,
+        lsf_c * (_shf(F2Bz, -1, 0) - _shf(ecc, -1, 0)),
+        rsf_c * (F2Bz - ecc))
+    l1 = _shf(F2Bz, -1, 0) + _upwind(
+        _shf(F2d, -1, 0),
+        -_shf(F1By, -1, 1) - _shf(_shf(ecc, -1, 1), -1, 0),
+        -F1By - _shf(ecc, -1, 0))
+    r1 = F2Bz + _upwind(
+        F2d,
+        -_shf(F1By, -1, 1) - _shf(ecc, -1, 1),
+        -F1By - ecc)
+    return 0.25 * (l1 + r1 + l2 + r2)
+
+
+def step_mhd2d(state: State, dt, sim: SimConfig, grid: GridConfig,
+               problem=None, phi=None):
+    """2D (R,phi) cylindrical CTU + CT step for MHD — the CYLINDRICAL+MHD
+    code path of integrate_2d_ctu.c as whole-grid arithmetic:
+
+      1b. x1-sweep MHD W source uses the radius-scaled face-field
+          divergence (ri B1i)' / (r dx1) (:227-242 with :229-237);
+          geometric primitive sources gain the By^2/d, Bx By/d, By/Bz
+          terms (:375-436).
+      2b. x2-sweep per-cell dtodx2 = dt/(r dphi) (:461-464).
+      4.  emf3 corners with corner radius scalings
+          (integrate_emf3_corner :2040-2049); half-dt CT with
+          hdt/(ri dphi) on B1i (:611-626).
+      5/6. transverse flux corrections with rsf/lsf (SQR on M2) and the
+          per-cell hdtodx2; 5c/6c MHD sources from the scaled dbx/dby;
+          6d adds the t^n geometric source to M1 of the x2 faces.
+      8.  n+1/2 cell-centered state with the same factors; B1ch uses the
+          lsf/rsf face average (:1164-1190).
+      10. full-dt CT, dt/(ri dphi) on B1i (:1296-1319).
+      11a. time-centered geometric source M2h^2/dhalf - B2ch^2 + Pavgh
+          over x1vc from the FINAL fluxes' Pflux (:1328-1377).
+      12. conservative update with rsf/lsf (SQR(rsf) on M2), B3c flux
+          differencing, B1c/B2c face averages with lsf/rsf (:1651-1721).
+
+    Requires flux=hlld (the cylindrical MHD decks' configuration;
+    Pflux from hlld.c:154-163,393)."""
+    assert sim.mhd and sim.adiabatic
+    assert grid.active(0) and grid.active(1) and not grid.active(2)
+    assert sim.nscalars == 0, \
+        "cylindrical + passive scalars unsupported (configure.ac:603)"
+    assert not sim.h_correction, "cylindrical decks do not use etah"
+    if sim.flux != "hlld":
+        raise NotImplementedError(
+            "2D cylindrical MHD requires flux=hlld (interface pressure "
+            "Pflux, hlld.c:154-163,393)")
+    U = state.U
+    Bcc = state.Bcc
+    Bi = [state.B1i, state.B2i]
+    dtype = U.dtype
+    hdt = 0.5 * dt
+    r, lsf, rsf, x1vc, inv_rdphi = _geometry(grid, dtype)
+    ri_all = np.asarray(grid.ri_coords(), dtype)
+    ri_l = jnp.asarray(ri_all[:-1])          # left-face radius of cell i
+    inv_ridphi = 1.0 / (ri_l * grid.dx[1])   # 1/(ri dphi) per LEFT face
+    # corner scalings at face i: rsf_c = ri[i]/r[i], lsf_c = ri[i]/r[i-1]
+    r_np = np.asarray(grid.r_coords(), dtype)
+    lsf_c = jnp.asarray(ri_all[:-1] / np.roll(r_np, 1))
+    rsf_c = jnp.asarray(ri_all[:-1] / r_np)
+    dtodx1 = dt / grid.dx[0]
+    q1 = 0.5 * dtodx1
+    dtodx2 = dt * inv_rdphi                  # per-cell dt/(r dphi)
+    q2 = 0.5 * dtodx2
+
+    phic, phif, gvc = (phi if phi is not None
+                       else _phi_arrays(problem, grid, dtype))
+    geom = plm_geom(grid, dtype)
+    ib = 5
+    axes = [0, 1]
+    d_n = U[ID]
+    V = [U[IM1 + c] / d_n for c in range(3)]
+
+    # scaled face-field divergences (per cell):
+    #   db0 = (ri[i+1] B1i[i+1] - ri[i] B1i[i]) / (r dx1)   (:229-237)
+    #   db1 = (B2i[j+1] - B2i[j]) / (r dphi)                (:497-505)
+    riB1 = ri_l * Bi[0]
+    db = {0: (_shf(riB1, 1, 0) - riB1) / (r * grid.dx[0]),
+          1: (_shf(Bi[1], 1, 1) - Bi[1]) * inv_rdphi}
+
+    # t^n geometric source for the transverse phases (:211-222):
+    # (d Vphi^2 + 0.5(B1c^2 - B2c^2 + B3c^2) + P)/x1vc
+    ke = 0.5 * (U[IM1] ** 2 + U[IM1 + 1] ** 2 + U[IM1 + 2] ** 2) / d_n
+    me = 0.5 * (Bcc[0] ** 2 + Bcc[1] ** 2 + Bcc[2] ** 2)
+    p_n = jnp.maximum(sim.gamma_1 * (U[IEN] - ke - me), 0.0)
+    gsrc_n = (d_n * V[1] * V[1]
+              + 0.5 * (Bcc[0] ** 2 - Bcc[1] ** 2 + Bcc[2] ** 2)
+              + p_n) / x1vc
+
+    # cell-centered geometric primitive source at t^n (:375-436), in
+    # x1-sweep variable order (d,Vx,Vy,Vz,P,By,Bz)
+    def _geom_src_w(Wc, Bx, rinv):
+        di = 1.0 / Wc[0]
+        out = [None] * Wc.shape[0]
+        out[0] = -Wc[0] * Wc[1] * rinv
+        out[1] = (Wc[2] * Wc[2] - Wc[ib] * Wc[ib] * di) * rinv
+        out[2] = (-Wc[1] * Wc[2] + Bx * Wc[ib] * di) * rinv
+        out[3] = jnp.zeros_like(out[0])
+        out[4] = -sim.gamma * Wc[4] * Wc[1] * rinv
+        out[ib] = -Wc[2] * Bx * rinv
+        out[ib + 1] = -Wc[1] * Wc[ib + 1] * rinv
+        return jnp.stack(out)
+
+    # === STEPS 1-2: L/R states + first-pass fluxes ==========================
+    Ulp, Urp, Fp = {}, {}, {}
+    Byzl, Byzr, FByz = {}, {}, {}
+    for a in axes:
+        b = 1 - a
+        a1, a2 = (a + 1) % 3, (a + 2) % 3
+        U1d = vperm_to_sweep(U, a, sim)
+        Bxc = Bcc[a]
+        U1d = jnp.concatenate([U1d[:ib], Bcc[a1][None], Bcc[a2][None],
+                               U1d[ib:]], 0)
+        W = cons1d_to_prim1d(U1d, Bxc, sim)
+        dtdx = dtodx1 if a == 0 else dtodx2
+        Wm, Wp_ = reconstruct.lr_states(W, Bxc, dtdx, sim, axis=2 - a,
+                                        geom=geom if a == 0 else None)
+        Wl = _sh(Wp_, -1, a)
+        Wr = Wm
+
+        # W MHD source on the in-plane transverse field (scaled db)
+        slot = ib if a == 0 else ib + 1   # B2 is By of x1; B1 is Bz of x2
+        src = V[b] * db[a] * hdt
+        Wl = Wl.at[slot].add(_shf(src, -1, a))
+        Wr = Wr.at[slot].add(src)
+
+        if a == 0:
+            # geometric primitive sources (:375-436)
+            src_r = _geom_src_w(W, Bxc, 1.0 / x1vc)
+            Wl = Wl + hdt * _sh(src_r, -1, 0)
+            Wr = Wr + hdt * src_r
+            if gvc is not None:
+                # gravity dt/2 in acceleration form at x1vc (:252-262)
+                Wl = Wl.at[1].add(-hdt * _shf(gvc, -1, 0))
+                Wr = Wr.at[1].add(-hdt * gvc)
+        elif phic is not None:
+            # x2 gravity by potential differences (:512-522)
+            Wl = Wl.at[1].add(-dtdx * (phif[1] - _shf(phic, -1, 1)))
+            Wr = Wr.at[1].add(-dtdx * (phic - phif[1]))
+
+        Bxi = Bi[a]
+        Ul = prim1d_to_cons1d(Wl, Bxi, sim)
+        Ur = prim1d_to_cons1d(Wr, Bxi, sim)
+        F = riemann.hlld(Ul, Ur, Wl, Wr, Bxi, sim)
+
+        def split(X):
+            return jnp.concatenate([X[:ib], X[ib + 2:]], 0), X[ib:ib + 2]
+        Ulh, bl = split(Ul)
+        Urh, br = split(Ur)
+        Fh, fb = split(F)
+        Ulp[a] = vperm_from_sweep(Ulh, a, sim)
+        Urp[a] = vperm_from_sweep(Urh, a, sim)
+        Fp[a] = vperm_from_sweep(Fh, a, sim)
+        Byzl[a], Byzr[a], FByz[a] = bl, br, fb
+
+    # === STEP 4: emf3 corners + half-dt CT ==================================
+    emf3_cc = (Bcc[0] * V[1] - Bcc[1] * V[0])
+    emf3P = _emf3_corner_cyl(Fp[0][ID], FByz[0][0], Fp[1][ID], FByz[1][1],
+                             emf3_cc, lsf_c, rsf_c)
+    B1f = Bi[0] - hdt * inv_ridphi * (_shf(emf3P, 1, 1) - emf3P)
+    B2f = Bi[1] + q1 * (_shf(emf3P, 1, 0) - emf3P)
+    Bf = [B1f, B2f]
+
+    # === STEPS 5-6: transverse corrections ==================================
+    def dflux1_scaled(F1):
+        Fr = _sh(F1, 1, 0)
+        out = []
+        for n in range(F1.shape[0]):
+            if n == IM1 + 1:
+                out.append(rsf * rsf * Fr[n] - lsf * lsf * F1[n])
+            else:
+                out.append(rsf * Fr[n] - lsf * F1[n])
+        return jnp.stack(out)
+
+    dF1s = dflux1_scaled(Fp[0])
+    dF2 = _sh(Fp[1], 1, 1) - Fp[1]
+    # out-of-plane B3 flux differences, scaled like their sweeps
+    dFB3 = {0: rsf * _shf(FByz[0][1], 1, 0) - lsf * FByz[0][1],
+            1: _shf(FByz[1][0], 1, 1) - FByz[1][0]}
+    Ulc, Urc, Byzlc, Byzrc = {}, {}, {}, {}
+    for a in axes:
+        b = 1 - a
+        corr = q1 * dF1s if b == 0 else q2 * dF2
+        Ulc[a] = Ulp[a] - _sh(corr, -1, a)
+        Urc[a] = Urp[a] - corr
+
+        # out-of-plane B3 interface state corrected by the other axis'
+        # B3 flux (x1 faces: per-cell q2; x2 faces: q1 with rsf/lsf)
+        i3 = 1 if a == 0 else 0
+        iip = 1 - i3
+        # per-cell q2 rides INSIDE the shift: the left state at face i
+        # uses cell i-1's hdt/(r[i-1] dphi) (:657-676)
+        corrB3 = (q2 if b == 1 else q1) * dFB3[b]
+        b3l = Byzl[a][i3] - _shf(corrB3, -1, a)
+        b3r = Byzr[a][i3] - corrB3
+
+        # 5c/6c MHD source terms from the scaled db of THIS axis
+        srcB3 = hdt * V[2] * db[a]
+        srcE = hdt * Bcc[2] * V[2] * db[a]
+        for c in range(3):
+            srcM = hdt * Bcc[c] * db[a]
+            Urc[a] = Urc[a].at[IM1 + c].add(srcM)
+            Ulc[a] = Ulc[a].at[IM1 + c].add(_shf(srcM, -1, a))
+        b3r = b3r + srcB3
+        b3l = b3l + _shf(srcB3, -1, a)
+        Urc[a] = Urc[a].at[IEN].add(srcE)
+        Ulc[a] = Ulc[a].at[IEN].add(_shf(srcE, -1, a))
+
+        # gravity cross terms + geometric source on the face states
+        if b == 0:
+            if gvc is not None:
+                # x1 gravity in acceleration form (:897-925)
+                dM = hdt * U[ID] * gvc
+                Urc[a] = Urc[a].at[IM1].add(-dM)
+                Ulc[a] = Ulc[a].at[IM1].add(-_shf(dM, -1, a))
+            if phic is not None:
+                phir = _shf(phif[0], 1, 0)
+                phil = phif[0]
+                dE = q1 * (lsf * Fp[0][ID] * (phic - phil) +
+                           rsf * _shf(Fp[0][ID], 1, 0) * (phir - phic))
+                Urc[a] = Urc[a].at[IEN].add(-dE)
+                Ulc[a] = Ulc[a].at[IEN].add(-_shf(dE, -1, a))
+            # t^n geometric source on M1 of the x2 faces (:1032-1041)
+            dgeo = hdt * gsrc_n
+            Urc[a] = Urc[a].at[IM1].add(dgeo)
+            Ulc[a] = Ulc[a].at[IM1].add(_shf(dgeo, -1, a))
+        elif phic is not None:
+            phir = _shf(phif[1], 1, 1)
+            phil = phif[1]
+            dMb = q2 * (phir - phil) * U[ID]
+            dE = q2 * (Fp[1][ID] * (phic - phil) +
+                       _shf(Fp[1][ID], 1, 1) * (phir - phic))
+            Urc[a] = Urc[a].at[IM1 + 1].add(-dMb)
+            Ulc[a] = Ulc[a].at[IM1 + 1].add(-_shf(dMb, -1, a))
+            Urc[a] = Urc[a].at[IEN].add(-dE)
+            Ulc[a] = Ulc[a].at[IEN].add(-_shf(dE, -1, a))
+
+        bil = Byzl[a][iip]
+        bir = Byzr[a][iip]
+        Byzlc[a] = (bil, b3l) if a == 0 else (b3l, bil)
+        Byzrc[a] = (bir, b3r) if a == 0 else (b3r, bir)
+
+    # === STEP 8: n+1/2 cell-centered EMF ====================================
+    dhalf = U[ID] - q1 * dF1s[ID] - q2 * dF2[ID]
+    Mh = [U[IM1 + c] - q1 * dF1s[IM1 + c] - q2 * dF2[IM1 + c]
+          for c in range(3)]
+    if gvc is not None:
+        Mh[0] = Mh[0] - hdt * U[ID] * gvc
+    if phic is not None:
+        Mh[1] = Mh[1] - q2 * (_shf(phif[1], 1, 1) - phif[1]) * U[ID]
+    # t^n geometric source (:1165-1167)
+    Mh[0] = Mh[0] + hdt * gsrc_n
+    B1ch = 0.5 * (lsf * B1f + rsf * _shf(B1f, 1, 0))
+    B2ch = 0.5 * (B2f + _shf(B2f, 1, 1))
+    emf3_cc_h = (B1ch * Mh[1] - B2ch * Mh[0]) / dhalf
+
+    # === STEP 9: final fluxes ===============================================
+    Fp2, FByz2 = {}, {}
+    pflux1 = None
+    for a in axes:
+        Ulh = vperm_to_sweep(Ulc[a], a, sim)
+        Urh = vperm_to_sweep(Urc[a], a, sim)
+        Ul = jnp.concatenate([Ulh[:ib], Byzlc[a][0][None],
+                              Byzlc[a][1][None], Ulh[ib:]], 0)
+        Ur = jnp.concatenate([Urh[:ib], Byzrc[a][0][None],
+                              Byzrc[a][1][None], Urh[ib:]], 0)
+        Bxi = Bf[a]
+        Wl = cons1d_to_prim1d(Ul, Bxi, sim)
+        Wr = cons1d_to_prim1d(Ur, Bxi, sim)
+        if a == 0:
+            F, pflux1 = riemann.hlld(Ul, Ur, Wl, Wr, Bxi, sim,
+                                     return_pflux=True)
+        else:
+            F = riemann.hlld(Ul, Ur, Wl, Wr, Bxi, sim)
+        Fp2[a] = vperm_from_sweep(
+            jnp.concatenate([F[:ib], F[ib + 2:]], 0), a, sim)
+        FByz2[a] = F[ib:ib + 2]
+
+    # === STEP 10: full-dt CT ================================================
+    emf3C = _emf3_corner_cyl(Fp2[0][ID], FByz2[0][0], Fp2[1][ID],
+                             FByz2[1][1], emf3_cc_h, lsf_c, rsf_c)
+    B1new = Bi[0] - dt * inv_ridphi * (_shf(emf3C, 1, 1) - emf3C)
+    B2new = Bi[1] + dtodx1 * (_shf(emf3C, 1, 0) - emf3C)
+
+    # === STEP 11a: time-centered geometric source from FINAL fluxes ========
+    dF1s2 = dflux1_scaled(Fp2[0])
+    dF22 = _sh(Fp2[1], 1, 1) - Fp2[1]
+    dhalf2 = U[ID] - q1 * dF1s2[ID] - q2 * dF22[ID]
+    M2h = U[IM1 + 1] - q1 * dF1s2[IM1 + 1] - q2 * dF22[IM1 + 1]
+    if phic is not None:
+        M2h = M2h - q2 * (_shf(phif[1], 1, 1) - phif[1]) * U[ID]
+    pavgh = 0.5 * (lsf * pflux1 + rsf * _shf(pflux1, 1, 0))
+    gsrc_h = (M2h * M2h / dhalf2 - B2ch * B2ch + pavgh) / x1vc
+    Unew = U.at[IM1].add(dt * gsrc_h)
+
+    # === STEP 11b: gravity at n+1/2 =========================================
+    if phic is not None:
+        F1, F1r = Fp2[0], _sh(Fp2[0], 1, 0)
+        if gvc is not None:
+            Unew = Unew.at[IM1].add(-dt * dhalf2 * gvc)
+        phir = _shf(phif[0], 1, 0)
+        phil = phif[0]
+        dE = dtodx1 * (lsf * F1[ID] * (phic - phil) +
+                       rsf * F1r[ID] * (phir - phic))
+        Unew = Unew.at[IEN].add(-dE)
+        phir = _shf(phif[1], 1, 1)
+        phil = phif[1]
+        Unew = Unew.at[IM1 + 1].add(-dtodx2 * (phir - phil) * dhalf2)
+        dE = dtodx2 * (Fp2[1][ID] * (phic - phil) +
+                       _shf(Fp2[1][ID], 1, 1) * (phir - phic))
+        Unew = Unew.at[IEN].add(-dE)
+
+    # === STEP 12: conservative update + B3c + face averages =================
+    Unew = Unew - dtodx1 * dF1s2 - dtodx2 * dF22
+    B3new = (Bcc[2] - dtodx1 * (rsf * _shf(FByz2[0][1], 1, 0)
+                                - lsf * FByz2[0][1])
+             - dtodx2 * (_shf(FByz2[1][0], 1, 1) - FByz2[1][0]))
+
+    sl_ = (slice(None),) + grid.interior()
+    Uout = U.at[sl_].set(Unew[sl_])
+
+    Biout = []
+    for a, Bn in ((0, B1new), (1, B2new)):
+        idx = []
+        for dim, ax in enumerate((2, 1, 0)):
+            upper = grid.hi(ax) + 1 + (1 if ax == a else 0)
+            idx.append(slice(grid.lo(ax), upper))
+        Biout.append(Bi[a].at[tuple(idx)].set(Bn[tuple(idx)]))
+
+    Bcc_new = jnp.stack([
+        0.5 * (lsf * Biout[0] + rsf * _shf(Biout[0], 1, 0)),
+        0.5 * (Biout[1] + _shf(Biout[1], 1, 1)),
+        B3new])
+    Bcc_out = Bcc.at[sl_].set(Bcc_new[sl_])
+    kw = {}
+    if state.B3i is not None:
+        kw["B3i"] = state.B3i.at[grid.interior()].set(
+            B3new[grid.interior()])
+    return state.replace(U=Uout, Bcc=Bcc_out, B1i=Biout[0], B2i=Biout[1],
+                         **kw)

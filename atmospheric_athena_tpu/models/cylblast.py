@@ -59,8 +59,32 @@ class CylBlast:
         M2 = d * x1 * omega0
         U = st.U.at[ID].set(d)
         U = U.at[IM1 + 1].set(jnp.broadcast_to(M2, grid.padded_shape()))
+        kw = {}
+        Emag = 0.0
+        if sim.mhd:
+            # planar field in the x-y (R,phi) plane at `angle` from the
+            # x-axis (cylblast.c:105-112); B2i uses the left phi face
+            b0 = par.getd("problem", "b0")
+            ang = math.pi / 180.0 * par.getd("problem", "angle")
+            x2i = x2 - 0.5 * grid.dx[1]
+            shp = grid.padded_shape()
+            B1 = jnp.broadcast_to(
+                b0 * (math.cos(ang) * jnp.cos(x2)
+                      + math.sin(ang) * jnp.sin(x2)), shp)
+            B2c = jnp.broadcast_to(
+                b0 * (-math.cos(ang) * jnp.sin(x2)
+                      + math.sin(ang) * jnp.cos(x2)), shp)
+            B2i = jnp.broadcast_to(
+                b0 * (-math.cos(ang) * jnp.sin(x2i)
+                      + math.sin(ang) * jnp.cos(x2i)), shp)
+            Z = jnp.zeros(shp, dtype)
+            kw["Bcc"] = jnp.stack([B1, B2c, Z])
+            kw["B1i"] = B1
+            kw["B2i"] = B2i
+            kw["B3i"] = Z
+            Emag = 0.5 * (B1 ** 2 + B2c ** 2)
         if sim.adiabatic:
             Eint = jnp.where(inside, prat * pamb, pamb) / sim.gamma_1
             Ekin = 0.5 * U[IM1 + 1] ** 2 / d
-            U = U.at[IEN].set(Eint + Ekin)
-        return st.replace(U=U)
+            U = U.at[IEN].set(Eint + Ekin + Emag)
+        return st.replace(U=U, **kw)

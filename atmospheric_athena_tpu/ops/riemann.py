@@ -330,11 +330,15 @@ def hllc(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None,
     return jnp.stack(F), pflux
 
 
-def hlld(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
+def hlld(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None,
+         return_pflux=False):
     """HLLD flux, adiabatic MHD only (hlld.c:40-397; Miyoshi & Kusano 2005).
     Branch-free formulation: all four candidate fluxes (Fl*, Fl**, Fr**,
     Fr*) are formed and selected by the signal-speed signs, with the
-    reference's degenerate-case guards (SMALL_NUMBER = 1e-8, hlld.c:37)."""
+    reference's degenerate-case guards (SMALL_NUMBER = 1e-8, hlld.c:37).
+
+    return_pflux: also return the cylindrical interface total pressure
+    (hlld.c:154-163 supersonic ptl/ptr, :393 star-region ptst)."""
     assert sim.mhd and sim.adiabatic, "HLLD is adiabatic-MHD only"
     SMALL = 1e-8
     ib = 5
@@ -453,6 +457,10 @@ def hlld(Ul, Ur, Wl, Wr, Bxi, sim: SimConfig, etah=None):
     for n in range(sim.nscalars):
         F.append(jnp.where(F[0] >= 0.0, F[0] * Wl[nw + n],
                            F[0] * Wr[nw + n]))
+    if return_pflux:
+        pflux = jnp.where(spd0 >= 0.0, ptl,
+                          jnp.where(spd4 <= 0.0, ptr, ptst))
+        return jnp.stack(F), pflux
     return jnp.stack(F)
 
 

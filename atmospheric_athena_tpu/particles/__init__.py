@@ -22,9 +22,18 @@ Physics implemented:
     including their shearing-sheet (Omega_0, qshear) matrix terms.
   - shearing-sheet forces in Get_Force (integrators_particle.c:817-851):
     3D (x,y,z) orientation, non-FARGO form.
-  - momentum/energy feedback to the gas: TSC scatter-add of
-    -m*(dv_drag) per particle onto the gas momenta (feedback.c
-    corrector, simplified to the drag impulse).
+  - the FULL predictor-corrector momentum/energy feedback of the
+    reference (round-5 upgrade over the simplified drag impulse):
+    feedback_predictor (integrators_particle.c:521-631) deposits the
+    half-step drag impulse density m*vd*(0.5*dt/ts) + its dissipation
+    Eloss = fb.vd, which the gas half-step subtracts from the momenta
+    (integrate_3d_ctu.c:2236-2241, 420-437); feedback_corrector
+    (integrators_particle.c:633-700) deposits m*(dv - dt*f_ext) at the
+    MIDPOINT particle position plus Eloss = m*|dv - dt*f_ext|^2*ts,
+    applied as U.M -= fb, U.E += Eloss at the final update
+    (integrate_3d_ctu.c:2957-2973).  Ghost-zone TSC spill is folded
+    back into the interior per BC flag exactly as exchange_feedback
+    (feedback.c periodic_/reflect_/outflow_*_feedback).
   - particle BCs: periodic wrap / outflow deactivation per axis from
     the grid's BC flags (bvals_particle.c semantics, serial).
 
@@ -46,7 +55,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import BC_OUTFLOW, BC_PERIODIC, GridConfig, SimConfig
+from ..config import (BC_OUTFLOW, BC_PERIODIC, BC_REFLECT, GridConfig,
+                      SimConfig)
 from ..defs import ID, IEN, IM1
 
 
@@ -185,6 +195,53 @@ def scatter_add(field, w, idx, ok, q):
     kk, jj, ii = _nbhd_idx(idx)
     contrib = (w * jnp.where(ok, q, 0.0)[:, None, None, None]).ravel()
     return field.at[kk.ravel(), jj.ravel(), ii.ravel()].add(contrib)
+
+
+def fold_ghost_deposits(arr, grid: GridConfig, flip_axis_comp=False):
+    """Fold ghost-zone TSC deposits back into the interior per BC flag —
+    the serial analogue of exchange_feedback (feedback.c:186-260):
+    periodic ghosts add to the opposite interior slab
+    (periodic_ix1_feedback), reflecting ghosts add to their mirror cell
+    with the NORMAL momentum component negated (reflect_ix1_feedback),
+    outflow ghosts are dropped (outflow_feedback).  Ghost slabs are
+    zeroed afterwards so the array is purely interior.
+
+    arr: (..., NZ, NY, NX); if flip_axis_comp, arr's leading axis is the
+    (3,) vector-component axis and component a flips under reflection at
+    the axis-a boundary."""
+    nd = arr.ndim
+    for a in range(3):
+        if not grid.active(a):
+            continue
+        n, N = grid.lo(a), grid.Nx[a]
+        ax = nd - 1 - a          # spatial position of grid axis a
+
+        def sl(s):
+            idx = [slice(None)] * nd
+            idx[ax] = s
+            return tuple(idx)
+
+        for side in (0, 1):
+            bc = grid.bc[a][side]
+            ghost = sl(slice(0, n)) if side == 0 else sl(
+                slice(n + N, n + N + n))
+            g = arr[ghost]
+            if bc == BC_PERIODIC:
+                dest = sl(slice(N, N + n)) if side == 0 else sl(
+                    slice(n, 2 * n))
+                arr = arr.at[dest].add(g)
+            elif bc == BC_REFLECT:
+                gm = jnp.flip(g, axis=ax)
+                if flip_axis_comp:
+                    sgn = jnp.ones((3,) + (1,) * (nd - 1), arr.dtype)
+                    sgn = sgn.at[a].set(-1.0)
+                    gm = gm * sgn
+                dest = sl(slice(n, 2 * n)) if side == 0 else sl(
+                    slice(N, N + n))
+                arr = arr.at[dest].add(gm)
+            # outflow / everything else: drop (outflow_feedback)
+            arr = arr.at[ghost].set(0.0)
+    return arr
 
 
 # ---------------------------------------------------------------------------
@@ -341,6 +398,50 @@ def _advance_dv(state, sim, grid, pp, pts: Particles, dt, problem):
     return dv, ts
 
 
+def _cell_volume(grid: GridConfig):
+    vol = 1.0
+    for a in range(3):
+        if grid.active(a):
+            vol = vol * grid.dx[a]
+    return vol
+
+
+def feedback_predictor(pts: "Particles", state, sim: SimConfig,
+                       grid: GridConfig, pp: ParticleParams, dt,
+                       problem=None):
+    """feedback_predictor (integrators_particle.c:521-631): the HALF-step
+    drag impulse density the gas predictor subtracts from its momenta.
+
+    Per particle at the t^n gas state: vd = u - v (gas minus grain),
+    fb = m * vd * (0.5*dt/ts), Eloss = fb . vd; TSC-deposited as
+    densities and ghost-folded (exchange_feedback).  The FBstiff
+    normalization is computed upstream but its correction is commented
+    out (integrators_particle.c:616-625), so it is omitted here.
+    Returns (fb (3,NZ,NY,NX), eloss (NZ,NY,NX))."""
+    x, v, prop = pts.x, pts.v, pts.prop
+    rho, u, cs, ok = _interp_gas(state, sim, grid, x)
+    vshift = getattr(problem, "gas_vshift", None) if problem else None
+    if vshift is not None:
+        u = vshift(x, u)
+    vd = [u[c] - v[c] for c in range(3)]
+    vmag = jnp.sqrt(vd[0] ** 2 + vd[1] ** 2 + vd[2] ** 2)
+    ts = _tstop(pp, prop, jnp.maximum(rho, 1e-30), cs, vmag, dt)
+    ok = ok & pts.alive
+    m = jnp.asarray(pp.mass, x.dtype)[prop]
+    ts1h = jnp.where(ok, 0.5 * dt / ts, 0.0)
+    vol = _cell_volume(grid)
+    fbq = [m * vd[c] * ts1h / vol for c in range(3)]
+    elq = fbq[0] * vd[0] + fbq[1] * vd[1] + fbq[2] * vd[2]
+    w, idx, _ = tsc_weights(grid, x)
+    zero = jnp.zeros(grid.padded_shape(), state.U.dtype)
+    fb = jnp.stack([scatter_add(zero, w, idx, ok, fbq[c])
+                    for c in range(3)])
+    eloss = scatter_add(zero, w, idx, ok, elq)
+    fb = fold_ghost_deposits(fb, grid, flip_axis_comp=True)
+    eloss = fold_ghost_deposits(eloss, grid)
+    return fb, eloss
+
+
 def apply_bc(grid: GridConfig, x, alive):
     """Particle BCs per axis: periodic wrap or outflow deactivation
     (bvals_particle.c, serial semantics)."""
@@ -360,7 +461,9 @@ def apply_bc(grid: GridConfig, x, alive):
 def integrate(pts: Particles, state, dt, sim: SimConfig, grid: GridConfig,
               pp: ParticleParams, problem=None, drag_state=None):
     """Integrate_Particles (integrators_particle.c:75-188), vectorized.
-    Returns (new particles, gas momentum feedback or None).
+    Returns (new particles, corrector feedback fb or None, Eloss or
+    None).  The caller applies U.M -= fb; U.E += Eloss (the reference's
+    final update, integrate_3d_ctu.c:2957-2973).
 
     drag_state: gas state to interpolate for the drag force — the
     driver passes the old/new average, the 2nd-order equivalent of the
@@ -369,30 +472,36 @@ def integrate(pts: Particles, state, dt, sim: SimConfig, grid: GridConfig,
     gs = drag_state if drag_state is not None else state
     dv, ts = _advance_dv(gs, sim, grid, pp, pts, dt, problem)
     vnew = jnp.stack([pts.v[c] + dv[c] for c in range(3)])
-    xnew = jnp.stack([
+    xdrift = jnp.stack([
         pts.x[a] + 0.5 * dt * (pts.v[a] + vnew[a]) if grid.active(a)
         else pts.x[a] for a in range(3)])
-    xnew, alive = apply_bc(grid, xnew, pts.alive)
+    xnew, alive = apply_bc(grid, xdrift, pts.alive)
     vnew = jnp.where(pts.alive[None], vnew, pts.v)
     xnew = jnp.where(pts.alive[None], xnew, pts.x)
 
-    fb = None
+    fb = eloss = None
     if pp.feedback:
-        # drag impulse back-reaction: -m * dv_drag deposited with TSC
-        # (feedback.c corrector, drag part); dv_drag excludes the
-        # non-drag forces only when they are gas-independent, as here
-        m = jnp.asarray(pp.mass)[pts.prop]
-        w, idx, ok = tsc_weights(grid, pts.x)
+        # feedback_corrector (integrators_particle.c:633-700): deposit
+        # m*(dv - dt*f_ext) and Eloss = m*|dv - dt*f_ext|^2 * ts at the
+        # MIDPOINT position/velocity of the step (pre-BC-wrap), then
+        # ghost-fold (exchange_feedback)
+        m = jnp.asarray(pp.mass, pts.x.dtype)[pts.prop]
+        xm = 0.5 * (pts.x + xdrift)
+        vm = 0.5 * (pts.v + vnew)
+        fr = _get_force(pp, grid, xm, vm, problem)
+        fbq = [dv[c] - dt * fr[c] for c in range(3)]
+        elq = m * (fbq[0] ** 2 + fbq[1] ** 2 + fbq[2] ** 2) * ts
+        vol = _cell_volume(grid)
+        w, idx, ok = tsc_weights(grid, xm)
         ok = ok & pts.alive
-        vol = 1.0
-        for a in range(3):
-            if grid.active(a):
-                vol = vol * grid.dx[a]
         zero = jnp.zeros(grid.padded_shape(), state.U.dtype)
         fb = jnp.stack([
-            scatter_add(zero, w, idx, ok, -m * dv[c] / vol)
+            scatter_add(zero, w, idx, ok, m * fbq[c] / vol)
             for c in range(3)])
-    return Particles(xnew, vnew, pts.prop, alive, pts.my_id), fb
+        eloss = scatter_add(zero, w, idx, ok, elq / vol)
+        fb = fold_ghost_deposits(fb, grid, flip_axis_comp=True)
+        eloss = fold_ghost_deposits(eloss, grid)
+    return Particles(xnew, vnew, pts.prop, alive, pts.my_id), fb, eloss
 
 
 def deposit_density(pts: Particles, grid: GridConfig, pp: ParticleParams,

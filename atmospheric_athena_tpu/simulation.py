@@ -98,7 +98,6 @@ class Simulation:
         # optional Lagrangian particle population (see from_par)
         self.particles = None
         self.par_params = None
-        self._jit_pstep = None
 
     # ------------------------------------------------------------------ setup
 
@@ -163,10 +162,11 @@ class Simulation:
             if sim.integrator != "ctu":
                 raise NotImplementedError(
                     "cylindrical coordinates: CTU integrator only")
-            if sim.mhd and ndim != 1:
+            if sim.mhd and ndim == 3:
                 raise NotImplementedError(
-                    "cylindrical MHD: 1D (R) only so far "
-                    "(integrators/cyl.step_mhd1d); 2D/3D CT pending")
+                    "cylindrical MHD: 1D (R) and 2D (R,phi) only "
+                    "(integrators/cyl.step_mhd1d/step_mhd2d); 3D CT "
+                    "pending")
             from .integrators import cyl as integ
         elif sim.integrator == "vl":
             if ndim == 3:
@@ -282,7 +282,21 @@ class Simulation:
         self._step_aux = (phi0, uw_aux0, phi_halo0)
         mesh_ = self.mesh
 
-        def step(state: State, aux=(None, None, None)) -> State:
+        # Lagrangian particles run INSIDE the jitted step (the reference
+        # integrates them at step 8.5 of the gas integrator,
+        # integrate_3d_ctu.c:2283-2291) — one dispatch per cycle
+        has_particles = self.particles is not None
+        if has_particles:
+            from . import particles as particles_mod
+            pp = self.par_params
+            if use_explicit:
+                raise NotImplementedError(
+                    "particles on a multi-device mesh: the TSC "
+                    "scatter-add is not sharded yet (bvals_particle.c "
+                    "MPI path)")
+            from .defs import IEN as _IEN, IM1 as _IM1
+
+        def step(state: State, aux=(None, None, None), pts=None):
             phi0, uw_aux = aux[0], aux[1]
             phi_halo = aux[2] if len(aux) > 2 else None
             # dt for this cycle, clipped so we land exactly on tlim
@@ -323,6 +337,25 @@ class Simulation:
                                             mesh=self.mesh)
                 state = _apply_bc(state)
 
+            if has_particles:
+                state_n = state
+                if pp.feedback:
+                    # predictor feedback: subtract the half-step drag
+                    # impulse before the gas step and restore it after —
+                    # the same time-centering the reference gets from
+                    # modifying the L/R states and M*h
+                    # (integrate_3d_ctu.c:420-437, 2236-2241); the net
+                    # full-step feedback is the corrector's alone
+                    fbp, elp = particles_mod.feedback_predictor(
+                        pts, state, sim, grid, pp, dt, problem)
+                    U = state.U.at[_IM1:_IM1 + 3].add(-fbp)
+                    if sim.adiabatic:
+                        U = U.at[_IEN].add(elp)
+                    # fbp is ghost-folded (zero ghosts): refresh the
+                    # ghost zones so the integrator sees no boundary
+                    # jump in the kicked momenta
+                    state = _apply_bc(state.replace(U=U))
+
             if selfg_pars is not None:
                 # Phi from rho at t^n (the reference solves at the end of
                 # the previous cycle, main.c:603-613 — same potential)
@@ -338,6 +371,37 @@ class Simulation:
             else:
                 state = integ.step(state, dt, sim, grid, problem,
                                    phi=phi0)
+
+            if has_particles:
+                if pp.feedback:
+                    # restore the predictor impulse (constant arrays:
+                    # exact bookkeeping), leaving only its effect on the
+                    # time-centered fluxes
+                    U = state.U.at[_IM1:_IM1 + 3].add(fbp)
+                    if sim.adiabatic:
+                        U = U.at[_IEN].add(-elp)
+                    state = state.replace(U=U)
+                # valid ghosts for the TSC drag gather of near-boundary
+                # particles (the final _apply_bc runs after this block)
+                state = _apply_bc(state)
+                # drag vs the old/new average — 2nd-order equivalent of
+                # the reference's Coup.grid_v at t^{n+1/2}, which
+                # INCLUDES the predictor impulse (M1h -= fb1,
+                # integrate_3d_ctu.c:2236-2281)
+                Uh = 0.5 * (state.U + state_n.U)
+                if pp.feedback:
+                    Uh = Uh.at[_IM1:_IM1 + 3].add(-fbp)
+                half = _apply_bc(state.replace(U=Uh))
+                pts, fb, eloss = particles_mod.integrate(
+                    pts, state, dt, sim, grid, pp, problem,
+                    drag_state=half)
+                if fb is not None:
+                    # corrector feedback at the final update
+                    # (integrate_3d_ctu.c:2957-2973)
+                    U = state.U.at[_IM1:_IM1 + 3].add(-fb)
+                    if sim.adiabatic:
+                        U = U.at[_IEN].add(eloss)
+                    state = state.replace(U=U)
 
             if sim.fargo:
                 # orbital advection right after the integrator
@@ -366,8 +430,21 @@ class Simulation:
                                   nstep=state.nstep + 1,
                                   dt=dt)
             dt_next = dt_mod.new_dt(state, sim, grid, cour_no)
+            if has_particles:
+                # particle CFL (new_dt.c:143-153; |v| rather than the
+                # reference's signed max)
+                for a in range(3):
+                    if grid.active(a):
+                        vmax = jnp.max(jnp.abs(
+                            jnp.where(pts.alive, pts.v[a], 0.0)))
+                        dt_next = jnp.minimum(
+                            dt_next,
+                            cour_no * grid.dx[a] / jnp.maximum(vmax,
+                                                               1e-30))
             state = state.replace(dt=dt_next)
             state = _apply_bc(state)
+            if has_particles:
+                return state, pts
             return state
 
         return jax.jit(step)
@@ -375,33 +452,11 @@ class Simulation:
     def step(self):
         if self._jit_step is None:
             self._jit_step = self._build_step()
-        t_before = self.state.time
-        state_before = self.state if self.particles is not None else None
-        self.state = self._jit_step(self.state, self._step_aux)
         if self.particles is not None:
-            if self._jit_pstep is None:
-                from . import particles as particles_mod
-
-                def pstep(pts, state, state_old, dt):
-                    # gas already advanced; drag interpolates the
-                    # old/new AVERAGE — the reference's half-step
-                    # GPCouple coupling to 2nd order
-                    half = state.replace(
-                        U=0.5 * (state.U + state_old.U))
-                    new, fb = particles_mod.integrate(
-                        pts, state, dt, self.sim, self.grid,
-                        self.par_params, self.problem,
-                        drag_state=half)
-                    if fb is not None:
-                        U = state.U
-                        for c in range(3):
-                            U = U.at[1 + c].add(fb[c] * dt)
-                        state = state.replace(U=U)
-                    return new, state
-                self._jit_pstep = jax.jit(pstep)
-            dt_used = self.state.time - t_before
-            self.particles, self.state = self._jit_pstep(
-                self.particles, self.state, state_before, dt_used)
+            self.state, self.particles = self._jit_step(
+                self.state, self._step_aux, self.particles)
+        else:
+            self.state = self._jit_step(self.state, self._step_aux)
 
     # -------------------------------------------------------------------- run
 

@@ -109,3 +109,48 @@ def test_cylwindrotb_1d_mhd_vs_reference():
         scale = max(np.abs(g[n]).max(), 1e-30)
         np.testing.assert_allclose(B[k][0, 0], g[n], rtol=0,
                                    atol=1e-12 * scale)
+
+
+def test_cylblast_2d_mhd_vs_reference():
+    """2D (R,phi) cylindrical MHD CTU+CT (integrators/cyl.step_mhd2d) vs
+    the reference --with-coord=cylindrical --with-gas=mhd
+    --with-flux=hlld build on a reduced athinput.cylblast_B1-2D
+    (64x96, planar 45-degree field), 20 cycles."""
+    s = Simulation.from_file(os.path.join(GOLD, "athinput.cylblastb2d"),
+                             dtype="float64")
+    assert s.grid.cylindrical and s.sim.mhd and s.sim.flux == "hlld"
+    g = np.load(os.path.join(GOLD, "cylblastb2d_20cycles.npz"))
+    sl = (slice(None),) + s.grid.interior()
+
+    def fields():
+        U = np.asarray(s.state.U)[sl]
+        B = np.asarray(s.state.Bcc)[sl]
+        return {"d": U[0][0], "M1": U[1][0], "M2": U[2][0],
+                "M3": U[3][0], "E": U[4][0], "B1c": B[0][0],
+                "B2c": B[1][0], "B3c": B[2][0]}
+
+    f = fields()
+    for n in ("d", "M1", "M2", "E", "B1c", "B2c", "B3c"):
+        np.testing.assert_allclose(
+            f[n], g[n + "_init"], rtol=0,
+            atol=1e-12 * max(np.abs(g[n + "_init"]).max(), 1e-30))
+
+    s.step()
+    # the tab header prints Time= with %g (6 sig figs)
+    assert float(s.state.time) == pytest.approx(float(g["time_c1"]),
+                                                rel=1e-5)
+    f = fields()
+    for n in ("d", "M1", "M2", "M3", "E", "B1c", "B2c", "B3c"):
+        scale = max(np.abs(g[n + "_c1"]).max(), 1e-30)
+        np.testing.assert_allclose(f[n], g[n + "_c1"], rtol=0,
+                                   atol=1e-13 * scale)
+
+    for _ in range(19):
+        s.step()
+    assert float(s.state.time) == pytest.approx(float(g["time"]),
+                                                rel=1e-5)
+    f = fields()
+    for n in ("d", "M1", "M2", "M3", "E", "B1c", "B2c", "B3c"):
+        scale = max(np.abs(g[n]).max(), 1e-30)
+        np.testing.assert_allclose(f[n], g[n], rtol=0,
+                                   atol=1e-12 * scale)

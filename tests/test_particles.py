@@ -66,7 +66,7 @@ def test_drag_relaxation_matches_analytic():
     dt = 0.01
     nstep = 50
     for _ in range(nstep):
-        pts, _ = P.integrate(pts, st, dt, sim, grid, pp)
+        pts, _, _ = P.integrate(pts, st, dt, sim, grid, pp)
     ratio = (2.0 - dt / ts) / (2.0 + dt / ts)
     v_exact_discrete = 1.0 * ratio ** nstep
     v_num = float(pts.v[0, 0])
@@ -94,7 +94,7 @@ def test_epicycle_frequency():
     dt = period / nstep
     xs = []
     for _ in range(nstep):
-        pts, _ = P.integrate(pts, st, dt, sim, grid, pp)
+        pts, _, _ = P.integrate(pts, st, dt, sim, grid, pp)
         xs.append(float(pts.x[0, 0]))
     # after one full epicyclic period the particle returns to x0
     assert xs[-1] == pytest.approx(amp, rel=2e-3)
@@ -103,8 +103,9 @@ def test_epicycle_frequency():
 
 
 def test_feedback_momentum_balance():
-    """The drag impulse deposited on the gas equals minus the particles'
-    momentum change (feedback.c conservation property)."""
+    """The corrector feedback integrates to the particles' momentum
+    change: sum(fb)*vol = m*sum(dv) with no external forces, and the gas
+    applies U.M -= fb (integrate_3d_ctu.c:2957-2964 conservation)."""
     sim, grid, st = _setup()
     pp = P.ParticleParams(integrator=2, tsmode=3, tstop0=(0.3,),
                           mass=(0.01,), feedback=True)
@@ -113,8 +114,158 @@ def test_feedback_momentum_balance():
     v = jnp.asarray(rng.normal(0.0, 1.0, (3, 32)))
     pts = P.Particles.create(x, v)
     dt = 0.02
-    new, fb = P.integrate(pts, st, dt, sim, grid, pp)
+    new, fb, eloss = P.integrate(pts, st, dt, sim, grid, pp)
     vol = np.prod([grid.dx[a] for a in range(3)])
-    dp_gas = np.asarray(fb).sum(axis=(1, 2, 3)) * vol
+    dp_fb = np.asarray(fb).sum(axis=(1, 2, 3)) * vol
     dp_par = 0.01 * np.asarray(new.v - pts.v).sum(axis=1)
-    np.testing.assert_allclose(dp_gas, -dp_par, rtol=1e-10)
+    np.testing.assert_allclose(dp_fb, dp_par, rtol=1e-10)
+    assert float(eloss.min()) >= 0.0
+
+
+def test_feedback_ghost_fold_conservation():
+    """Particles hugging a periodic boundary spill TSC weight into the
+    ghost zones; fold_ghost_deposits (exchange_feedback,
+    feedback.c periodic_*_feedback) returns every bit of it to the
+    interior so the total deposited momentum is unchanged."""
+    sim, grid, st = _setup()
+    pp = P.ParticleParams(integrator=2, tsmode=3, tstop0=(0.3,),
+                          mass=(0.05,), feedback=True)
+    rng = np.random.default_rng(2)
+    # within half a cell of each face -> guaranteed ghost spill
+    x = jnp.asarray(np.concatenate([
+        rng.uniform(-1.0, -0.99, (3, 8)),
+        rng.uniform(0.99, 1.0, (3, 8))], axis=1))
+    v = jnp.asarray(rng.normal(0.0, 1.0, (3, 16)))
+    pts = P.Particles.create(x, v)
+    dt = 0.02
+    new, fb, eloss = P.integrate(pts, st, dt, sim, grid, pp)
+    fbn = np.asarray(fb)
+    n = grid.nghost
+    # ghosts are zeroed after the fold
+    assert np.all(fbn[:, :, :, :n] == 0.0)
+    assert np.all(fbn[:, :, :, -n:] == 0.0)
+    vol = np.prod([grid.dx[a] for a in range(3)])
+    dp_fb = fbn.sum(axis=(1, 2, 3)) * vol
+    dp_par = 0.05 * np.asarray(new.v - pts.v).sum(axis=1)
+    np.testing.assert_allclose(dp_fb, dp_par, rtol=1e-10)
+
+
+def test_feedback_reflect_fold_flips_normal():
+    """Reflecting fold (reflect_ix1_feedback, feedback.c): the mirrored
+    ghost deposit negates the NORMAL momentum component and keeps the
+    transverse ones and Eloss."""
+    sim, grid, _ = _setup()
+    import dataclasses
+    from atmospheric_athena_tpu.config import BC_REFLECT
+    gridr = dataclasses.replace(grid, bc=((BC_REFLECT, BC_REFLECT),)
+                                + grid.bc[1:])
+    n = gridr.nghost
+    arr = jnp.zeros((3,) + gridr.padded_shape())
+    # one unit of (fx, fy) deposited one cell OUTSIDE the inner x1 face
+    arr = arr.at[0, 10, 10, n - 1].set(1.0)
+    arr = arr.at[1, 10, 10, n - 1].set(2.0)
+    out = np.asarray(P.fold_ghost_deposits(arr, gridr,
+                                           flip_axis_comp=True))
+    assert out[0, 10, 10, n] == pytest.approx(-1.0)   # normal flipped
+    assert out[1, 10, 10, n] == pytest.approx(2.0)    # transverse kept
+    assert out[:, :, :, :n].sum() == 0.0
+
+
+def test_feedback_predictor_halfstep_impulse():
+    """feedback_predictor (integrators_particle.c:521-631): the deposit
+    integrates to m * (u - v) * 0.5*dt/ts and Eloss >= 0."""
+    sim, grid, _ = _setup()
+    st = _uniform_state(sim, grid, v=(0.3, 0.0, 0.0))
+    ts = 0.4
+    pp = P.ParticleParams(tsmode=3, tstop0=(ts,), mass=(0.02,),
+                          feedback=True)
+    x = jnp.zeros((3, 4)) + jnp.asarray([[0.1, -0.2, 0.3, 0.0]])
+    v = jnp.zeros((3, 4))
+    pts = P.Particles.create(x, v)
+    dt = 0.05
+    fb, eloss = P.feedback_predictor(pts, st, sim, grid, pp, dt)
+    vol = np.prod([grid.dx[a] for a in range(3)])
+    px = float(fb[0].sum()) * vol
+    assert px == pytest.approx(4 * 0.02 * 0.3 * 0.5 * dt / ts, rel=1e-12)
+    assert float(fb[1].sum()) == pytest.approx(0.0, abs=1e-14)
+    assert float(eloss.min()) >= 0.0
+
+
+def test_dusty_box_mutual_drag_driver():
+    """Driver-level validation of the FULL predictor-corrector feedback
+    loop: a uniform dust lattice moving through uniform gas.  The
+    two-fluid solution is dv(t) = dv0 exp(-t (1+eps)/ts) with mass
+    loading eps = mu/rho, and total gas+dust momentum is conserved to
+    roundoff (the par_drag-class test the reference encodes)."""
+    deck = """
+<job>
+problem_id = dusty
+<time>
+cour_no = 0.8
+nlim = 100
+tlim = 0.5
+<domain1>
+level = 0
+Nx1 = 16
+x1min = -1.0
+x1max = 1.0
+bc_ix1 = 4
+bc_ox1 = 4
+Nx2 = 16
+x2min = -1.0
+x2max = 1.0
+bc_ix2 = 4
+bc_ox2 = 4
+Nx3 = 16
+x3min = -1.0
+x3max = 1.0
+bc_ix3 = 4
+bc_ox3 = 4
+<problem>
+gamma = 1.6666666666666667
+v1 = 0.1
+v2 = 0.0
+v3 = 0.0
+tstop = 0.5
+p0 = 10.0
+<particle>
+partypes = 1
+tsmode = 3
+tstop = 0.5
+feedback = 1
+parmass = %.17g
+"""
+    eps = 0.25          # dust-to-gas mass ratio
+    n = 16
+    vol_cell = (2.0 / n) ** 3
+    mpar = eps * 1.0 * vol_cell     # one grain per cell, rho = 1
+    par = ParameterDB.from_string(deck % mpar)
+    s = Simulation.from_par(par, problem="par_friction")
+    # replace the single test grain with a cell-centered lattice
+    c = (np.arange(n) + 0.5) * (2.0 / n) - 1.0
+    zz, yy, xx = np.meshgrid(c, c, c, indexing="ij")
+    x = jnp.asarray(np.stack([xx.ravel(), yy.ravel(), zz.ravel()]))
+    v = jnp.zeros_like(x).at[0].set(0.1)
+    s.particles = P.Particles.create(x, v)
+    vol = vol_cell
+    interior = (slice(4, -4),) * 3
+    p_tot0 = (float(s.state.U[IM1][interior].sum()) * vol
+              + mpar * float(s.particles.v[0].sum()))
+    nst = 0
+    while float(s.state.time) < 0.5 and nst < 100:
+        s.step()
+        nst += 1
+    t = float(s.state.time)
+    # uniform problem: gas stays uniform, dust stays on the lattice
+    u1 = np.asarray(s.state.U[IM1] / s.state.U[ID])
+    u1i = u1[interior]
+    assert np.ptp(u1i) < 1e-12
+    dv = float(s.particles.v[0, 0]) - float(u1i.mean())
+    ts = 0.5
+    dv_exact = 0.1 * np.exp(-t * (1.0 + eps) / ts)
+    assert dv == pytest.approx(dv_exact, rel=2e-3)
+    # momentum conservation gas+dust
+    p_tot = (float(s.state.U[IM1][interior].sum()) * vol
+             + mpar * float(s.particles.v[0].sum()))
+    assert p_tot == pytest.approx(p_tot0, abs=1e-11 * max(1.0,
+                                                          abs(p_tot0)))
